@@ -1,0 +1,135 @@
+"""Build-time configuration for an IVFADC index.
+
+Defaults mirror the reference library's constants (reference:
+/root/reference/src/defaults.jl:2-10) and the constructor keyword arguments
+(/root/reference/src/index.jl:103-114), re-expressed as a frozen dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import numpy as np
+
+# Code / id dtypes supported, and the bit widths used by the capacity law
+# (reference: QuantizedArrays.TYPE_TO_BITS used at /root/reference/src/index.jl:124
+#  and /root/reference/src/utils.jl:134).
+DTYPE_TO_BITS = {
+    "uint8": 8,
+    "uint16": 16,
+    "uint32": 32,
+    "uint64": 64,
+}
+
+VALID_QUANTIZATION_METHODS = ("pq", "opq")
+# "naive" = brute-force matmul coarse scan; "hnsw" is accepted for API parity
+# with the reference (/root/reference/src/defaults.jl:7) and maps to the
+# TPU-friendly two-level coarse quantizer ("two_level" is its native name).
+VALID_COARSE_QUANTIZERS = ("naive", "hnsw", "two_level")
+
+
+def code_dtype_for_k(k: int) -> str:
+    """Smallest unsigned dtype that can hold codes in [0, k)."""
+    if k <= 256:
+        return "uint8"
+    if k <= 65536:
+        return "uint16"
+    return "uint32"
+
+
+def bits_required(n: int) -> int:
+    """ceil(log2(n)) — the id-width capacity law of the reference
+    (/root/reference/src/index.jl:117)."""
+    if n <= 1:
+        return 0
+    return int(math.ceil(math.log2(n)))
+
+
+@dataclasses.dataclass(frozen=True)
+class IVFADCConfig:
+    """Hyperparameters for building an IVFADC index.
+
+    Field-by-field parity with the reference constructor kwargs
+    (/root/reference/src/index.jl:103-114):
+      kc                   <- kc            (DEFAULT_COARSE_K = 2)
+      k                    <- k             (DEFAULT_QUANTIZATION_K = 256)
+      m                    <- m             (DEFAULT_QUANTIZATION_M = 1)
+      coarse_quantizer     <- coarse_quantizer (:naive)
+      coarse_metric        <- coarse_distance  (SqEuclidean)
+      quantization_metric  <- quantization_distance (SqEuclidean)
+      quantization_method  <- quantization_method (:pq)
+      coarse_maxiter       <- coarse_maxiter (25)
+      quantization_maxiter <- quantization_maxiter (25)
+      index_dtype          <- index_type    (UInt32)
+    TPU-specific additions: seed, opq_iters, block sizes, slack factor.
+    """
+
+    kc: int = 2
+    k: int = 256
+    m: int = 1
+    coarse_quantizer: str = "naive"
+    coarse_metric: str = "sqeuclidean"
+    quantization_metric: str = "sqeuclidean"
+    quantization_method: str = "pq"
+    coarse_maxiter: int = 25
+    quantization_maxiter: int = 25
+    index_dtype: str = "uint32"
+
+    # TPU-build specific knobs (no reference counterpart).
+    seed: int = 0
+    opq_iters: int = 4              # outer alternations for OPQ rotation learning
+    kmeans_block: int = 16384       # points per chunk in the assignment step
+    cell_slack: float = 1.25        # padded-CSR over-allocation factor per cell
+    kmeanspp_sample: int = 0        # 0 = seed k-means++ on all points; else subsample cap
+    score_mode: str = "reference"   # "reference": coarse_dist + sum(ADC table)
+                                    #   (parity with /root/reference/src/index.jl:242-246)
+                                    # "pure": sum(ADC table) only (classic IVFADC estimator)
+
+    def __post_init__(self):
+        if self.quantization_method not in VALID_QUANTIZATION_METHODS:
+            raise ValueError(
+                f"quantization_method must be one of {VALID_QUANTIZATION_METHODS}, "
+                f"got {self.quantization_method!r}")
+        if self.coarse_quantizer not in VALID_COARSE_QUANTIZERS:
+            raise ValueError(
+                f"coarse_quantizer must be one of {VALID_COARSE_QUANTIZERS}, "
+                f"got {self.coarse_quantizer!r}")
+        if self.index_dtype not in DTYPE_TO_BITS:
+            raise ValueError(f"index_dtype must be one of {tuple(DTYPE_TO_BITS)}, "
+                             f"got {self.index_dtype!r}")
+        if self.score_mode not in ("reference", "pure"):
+            raise ValueError(f"score_mode must be 'reference' or 'pure', got {self.score_mode!r}")
+
+    def validate_for_data(self, n: int, d: int) -> None:
+        """Build-time assertions, 1:1 with /root/reference/src/index.jl:116-125."""
+        if self.kc < 2:
+            raise AssertionError("Number of coarse clusters has to be >= 2")
+        if self.k > n:
+            raise AssertionError(f"Number of quantization levels has to be <= {n}")
+        if not (1 <= self.m <= d):
+            raise AssertionError(f"Number of codebooks has to be between 1 and {d}")
+        if d % self.m != 0:
+            raise AssertionError(f"Number of codebooks m={self.m} must divide dim d={d}")
+        if self.coarse_maxiter <= 0 or self.quantization_maxiter <= 0:
+            raise AssertionError("Number of clustering iterations has to be > 0")
+        if DTYPE_TO_BITS[self.index_dtype] < bits_required(n):
+            raise AssertionError(
+                f"{n} vectors require at least {bits_required(n)} index bits")
+
+    @property
+    def code_dtype(self) -> str:
+        return code_dtype_for_k(self.k)
+
+    @property
+    def id_np_dtype(self) -> np.dtype:
+        return np.dtype(self.index_dtype)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IVFADCConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{key: val for key, val in d.items() if key in known})

@@ -1,0 +1,319 @@
+"""IVFADCIndex — the top-level index.
+
+API parity with the reference's 12 user-facing entry points (SURVEY §1):
+  IVFADCIndex(data; kwargs)        -> IVFADCIndex.build(data, config|kwargs)
+  knn_search(idx, point, k; w)     -> idx.search(point, k, w=...)   (single)
+  knn_search(idx, points, k; w)    -> idx.search(points, k, w=...)  (batch)
+  push! / pushfirst!               -> idx.push / idx.push_front
+  pop! / popfirst!                 -> idx.pop / idx.pop_front
+  delete_from_index!(idx, pts)     -> idx.delete(ids)  (NOTE: 0-based ids;
+      the reference takes 1-based positions and converts at
+      /root/reference/src/utils.jl:93 — Python is natively 0-based)
+  length / size / show             -> len(idx) / idx.shape / repr(idx)
+  save/load_ivfadc_index           -> idx.save / IVFADCIndex.load
+
+Search returns 0-based ids (parity: /root/reference/src/index.jl:189) and at
+most k results when the probed cells hold fewer than k points
+(/root/reference/src/index.jl:200).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ivfadc_tpu.config import DTYPE_TO_BITS, IVFADCConfig
+from ivfadc_tpu.ops import pq as pq_ops
+from ivfadc_tpu.ops.adc import build_adc_tables, scan_postings
+from ivfadc_tpu.ops.metrics import Metric, get_metric
+from ivfadc_tpu.models.coarse import (NaiveCoarseQuantizer,
+                                      TwoLevelCoarseQuantizer,
+                                      make_coarse_quantizer)
+from ivfadc_tpu.models.inverted import PostingStore
+from ivfadc_tpu.utils.profiling import BuildTimer
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "w", "window", "metric", "include_base",
+                     "apply_rot", "residual_based"))
+def _search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids, queries,
+                 *, k: int, w: int, window: int, metric: Metric,
+                 include_base: bool, apply_rot: bool, residual_based: bool):
+    """Fused batched search: coarse probe -> ADC tables -> posting scan -> top-k."""
+    queries = queries.astype(jnp.float32)
+    cells, cdists = cq.search(queries, w)                     # (B, w)
+    cent = cq.centroids[cells]                                # (B, w, d)
+    if residual_based:
+        vecs = queries[:, None, :] - cent                     # residuals (B, w, d)
+        base = cdists if include_base else jnp.zeros_like(cdists)
+    else:
+        # Inner-product family: q.x_hat = q.c + q.decode -> tables from the
+        # query itself, and the coarse term (under the QUANT metric, the
+        # coarse probe may use a different one) completes the exact score.
+        vecs = jnp.broadcast_to(queries[:, None, :],
+                                (queries.shape[0], w, queries.shape[1]))
+        base = jax.vmap(metric.pairwise)(queries[:, None, :], cent)[:, 0, :]
+    if apply_rot:
+        vecs = vecs @ rotation
+    tables = build_adc_tables(metric, vecs, codebooks)        # (B, w, m, kq)
+    out_ids, out_dists = scan_postings(
+        tables, base, cells, offsets, sizes, codes, ids, k=k, window=window)
+    return out_ids, metric.finalize(out_dists)
+
+
+def _bucket_batch(b: int) -> int:
+    """Pad batch sizes to a small set of buckets to bound jit recompiles."""
+    if b <= 8:
+        return 8
+    p = 8
+    while p < b and p < 1024:
+        p *= 2
+    if p >= b:
+        return p
+    return ((b + 1023) // 1024) * 1024
+
+
+class IVFADCIndex:
+    """Two-level IVFADC ANN index (coarse k-means cells + PQ-coded residuals)."""
+
+    def __init__(self, config: IVFADCConfig, coarse, quantizer, store,
+                 data_dtype: np.dtype, dim: int):
+        self.config = config
+        self.coarse = coarse                  # NaiveCoarseQuantizer | TwoLevel...
+        self.quantizer = quantizer            # ProductQuantizer
+        self.store = store                    # PostingStore
+        self.data_dtype = np.dtype(data_dtype)
+        self.dim = dim
+        self.coarse_metric = get_metric(config.coarse_metric)
+        self.quant_metric = get_metric(config.quantization_metric)
+        if not self.quant_metric.additive:
+            raise ValueError(
+                f"quantization metric {self.quant_metric.name!r} is not "
+                "additive over subspaces — ADC search would be meaningless")
+
+    # ------------------------------------------------------------------ build
+    @classmethod
+    def build(cls, data, config: Optional[IVFADCConfig] = None,
+              **kwargs) -> "IVFADCIndex":
+        """Build the index. `data` is (n, d) row-major points.
+
+        (The reference takes column-major d x n Julia matrices; numpy
+        convention here is (n, d).)
+        """
+        from ivfadc_tpu.ops.kmeans import kmeans
+
+        if config is None:
+            config = IVFADCConfig(**kwargs)
+        elif kwargs:
+            raise TypeError("pass either a config or kwargs, not both")
+        data = np.ascontiguousarray(data)
+        if data.ndim != 2:
+            raise AssertionError("data must be a 2-D (n, d) array")
+        n, d = data.shape
+        config.validate_for_data(n, d)
+        cmetric = get_metric(config.coarse_metric)
+        qmetric = get_metric(config.quantization_metric)
+        key = jax.random.PRNGKey(config.seed)
+        k_coarse, k_quant, k_cq = jax.random.split(key, 3)
+        timer = BuildTimer()
+
+        with timer.phase("coarse_kmeans"):
+            xd = jnp.asarray(data, jnp.float32)
+            cres = kmeans(k_coarse, xd, config.kc,
+                          maxiter=config.coarse_maxiter, metric=cmetric,
+                          block=config.kmeans_block,
+                          pp_sample=config.kmeanspp_sample)
+            jax.block_until_ready(cres)
+        with timer.phase("residuals"):
+            residuals = xd - cres.centers[cres.assignments]
+            jax.block_until_ready(residuals)
+        with timer.phase("train_quantizer"):
+            quantizer = pq_ops.train_quantizer(
+                k_quant, residuals, m=config.m, k=config.k,
+                method=config.quantization_method,
+                maxiter=config.quantization_maxiter, metric=qmetric,
+                opq_iters=config.opq_iters, block=config.kmeans_block)
+            jax.block_until_ready(quantizer.codebooks)
+        with timer.phase("encode"):
+            codes = pq_ops.encode(quantizer, residuals, metric=qmetric)
+            jax.block_until_ready(codes)
+        with timer.phase("build_lists"):
+            store = PostingStore.build(np.asarray(cres.assignments),
+                                       np.asarray(codes), config.kc,
+                                       slack=config.cell_slack)
+        with timer.phase("coarse_quantizer"):
+            coarse = make_coarse_quantizer(config.coarse_quantizer, k_cq,
+                                           cres.centers, cmetric)
+        idx = cls(config, coarse, quantizer, store, data.dtype, d)
+        idx.build_timings = timer.timings
+        return idx
+
+    # ----------------------------------------------------------------- search
+    def _device_search(self, queries: np.ndarray, k: int, w: int
+                       ) -> Tuple[jax.Array, jax.Array]:
+        """Padded fixed-shape search on device. queries (B, d) -> (B, k)."""
+        if k < 1:
+            raise AssertionError("k has to be >= 1")  # src/index.jl:210
+        if w < 1:
+            raise AssertionError("w has to be >= 1")  # src/index.jl:211
+        w = min(w, self.config.kc)                    # src/index.jl:216
+        B = queries.shape[0]
+        Bp = _bucket_batch(B)
+        q = jnp.asarray(
+            np.pad(np.asarray(queries, np.float32), ((0, Bp - B), (0, 0))))
+        dev = self.store.device_view()
+        include_base = (self.config.score_mode == "reference"
+                        or not self.quant_metric.residual_based)
+        out_ids, out_dists = _search_impl(
+            self.coarse, self.quantizer.codebooks, self.quantizer.rotation,
+            dev["offsets"], dev["sizes"], dev["codes"], dev["ids"], q,
+            k=k, w=w, window=self.store.window, metric=self.quant_metric,
+            include_base=include_base,
+            apply_rot=self.quantizer.method == "opq",
+            residual_based=self.quant_metric.residual_based)
+        return out_ids[:B], out_dists[:B]
+
+    def search(self, points, k: int, w: int = 1):
+        """knn_search parity (/root/reference/src/index.jl:204-273).
+
+        Single point (d,) -> (ids, dists) trimmed to the valid (<= k) results.
+        Batch (B, d) array or list of points -> (list_of_ids, list_of_dists).
+        Returned ids are 0-based, dtype = config.index_dtype; distances have
+        the query's float dtype.
+        """
+        pts = np.asarray(points)
+        single = pts.ndim == 1
+        if single:
+            pts = pts[None, :]
+        if pts.shape[1] != self.dim:
+            raise AssertionError(
+                f"query dimension {pts.shape[1]} != index dimension {self.dim}")
+        out_dtype = pts.dtype if np.issubdtype(pts.dtype, np.floating) \
+            else np.float32
+        ids, dists = self._device_search(pts, k, w)
+        ids = np.asarray(ids)
+        dists = np.asarray(dists)
+        id_dtype = np.dtype(self.config.index_dtype)
+        if single:
+            m = ids[0] >= 0
+            return ids[0][m].astype(id_dtype), dists[0][m].astype(out_dtype)
+        out_i, out_d = [], []
+        for row_i, row_d in zip(ids, dists):
+            m = row_i >= 0
+            out_i.append(row_i[m].astype(id_dtype))
+            out_d.append(row_d[m].astype(out_dtype))
+        return out_i, out_d
+
+    def search_padded(self, points: np.ndarray, k: int, w: int = 1
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """TPU-native batch search: fixed (B, k) outputs, -1/-inf padding.
+        No host-side trimming — use this for throughput benchmarking."""
+        ids, dists = self._device_search(np.asarray(points), k, w)
+        return np.asarray(ids), np.asarray(dists)
+
+    # ------------------------------------------------------------ dynamic ops
+    def _encode_point(self, point: np.ndarray) -> Tuple[int, np.ndarray]:
+        """Nearest cell + PQ codes (reference `_encode_point`,
+        /root/reference/src/utils.jl:148-161)."""
+        q = jnp.asarray(point, jnp.float32)[None, :]
+        cells, _ = self.coarse.search(q, 1)
+        cell = int(cells[0, 0])
+        residual = q - self.coarse.centroids[cell][None, :]
+        codes = pq_ops.encode(self.quantizer, residual, metric=self.quant_metric)
+        return cell, np.asarray(codes)[0]
+
+    def _check_push(self, point: np.ndarray) -> None:
+        point = np.asarray(point)
+        if point.shape != (self.dim,):
+            raise AssertionError(
+                f"Wrong point dimension {point.shape}, expected ({self.dim},)")
+        bits = DTYPE_TO_BITS[self.config.index_dtype]
+        if len(self) >= (1 << bits):
+            raise AssertionError(
+                f"Index is full for dtype {self.config.index_dtype} "
+                f"({1 << bits} vectors)")  # /root/reference/src/utils.jl:134-135
+
+    def push(self, point) -> None:
+        """Append with id = n (reference push!, /root/reference/src/utils.jl:114)."""
+        self._check_push(point)
+        cell, codes = self._encode_point(np.asarray(point, np.float32))
+        self.store.append(cell, codes, len(self))
+
+    def push_front(self, point) -> None:
+        """Insert with id = 0, shifting every live id up by one
+        (reference pushfirst!, /root/reference/src/utils.jl:123,140-141)."""
+        self._check_push(point)
+        cell, codes = self._encode_point(np.asarray(point, np.float32))
+        self.store.shift_ids(-1, +1)
+        self.store.append(cell, codes, 0)
+
+    def _reconstruct_from(self, cell: int, codes: np.ndarray) -> np.ndarray:
+        centroid = np.asarray(self.coarse.centroids[cell])
+        resid = np.asarray(pq_ops.decode(self.quantizer, codes[None, :]))[0]
+        return (centroid + resid).astype(self.data_dtype)
+
+    def pop(self) -> np.ndarray:
+        """Remove & reconstruct the last-inserted point (id n-1)
+        (reference pop!, /root/reference/src/utils.jl:29,41-68)."""
+        n = len(self)
+        if n == 0:
+            raise IndexError("pop from empty index")
+        cell, slot = self.store.find(n - 1)
+        codes = self.store.remove_slot(cell, slot)
+        return self._reconstruct_from(cell, codes)
+
+    def pop_front(self) -> np.ndarray:
+        """Remove & reconstruct id 0, shifting all ids down by one
+        (reference popfirst!, /root/reference/src/utils.jl:37)."""
+        if len(self) == 0:
+            raise IndexError("pop from empty index")
+        cell, slot = self.store.find(0)
+        codes = self.store.remove_slot(cell, slot)
+        self.store.shift_ids(0, -1)
+        return self._reconstruct_from(cell, codes)
+
+    def delete(self, ids: Sequence[int]) -> None:
+        """Delete by 0-based ids; surviving ids shift down to stay the
+        contiguous range {0..n'-1} (reference delete_from_index!,
+        /root/reference/src/utils.jl:90-105 — which takes 1-based positions)."""
+        self.store.delete_ids(np.asarray(list(ids), np.int64))
+
+    def reconstruct(self, ext_id: int) -> np.ndarray:
+        """Decode the stored approximation of a point (non-destructive)."""
+        cell, slot = self.store.find(int(ext_id))
+        return self._reconstruct_from(cell, self.store.codes[slot].copy())
+
+    # ------------------------------------------------------------- inspection
+    def __len__(self) -> int:
+        return self.store.n                    # src/index.jl:56-57
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.dim, len(self))           # size(ivfadc) at src/index.jl:65-66
+
+    def bytes_per_vector(self) -> int:
+        id_bytes = DTYPE_TO_BITS[self.config.index_dtype] // 8
+        code_bytes = np.dtype(self.store.code_dtype).itemsize * self.config.m
+        return id_bytes + code_bytes           # README.md:47 "12-byte encoding"
+
+    def __repr__(self) -> str:
+        cq = type(self.coarse).__name__
+        return (f"IVFADCIndex ({cq}, {self.config.quantization_method}), "
+                f"dim={self.dim}, kc={self.config.kc}, m={self.config.m}, "
+                f"k={self.config.k}, {self.bytes_per_vector()}-byte encoding, "
+                f"{len(self)} vectors")
+
+    # ------------------------------------------------------------ persistence
+    def save(self, path: str) -> None:
+        from ivfadc_tpu.utils.persistence import save_index
+        save_index(path, self)
+
+    @classmethod
+    def load(cls, path: str) -> "IVFADCIndex":
+        from ivfadc_tpu.utils.persistence import load_index
+        return load_index(path)

@@ -1,0 +1,202 @@
+"""Flat padded-CSR posting storage.
+
+The reference stores postings as `Vector{InvertedList}` — per-cell parallel
+arrays of ids and per-point code vectors (/root/reference/src/index.jl:8-23).
+Pointer-chasing structures don't map to TPU, so here all postings live in two
+flat arrays:
+
+    codes : (total_cap, m)  uint8/16/32 — PQ codes, cell-major
+    ids   : (total_cap,)    int64       — external 0-based positional ids,
+                                          -1 in unused (padding) slots
+
+with cell c owning the slot range [offsets[c], offsets[c] + caps[c]) of which
+the first sizes[c] slots are live. Per-cell slack (capacity > size) gives O(1)
+dynamic `push`; a cell that fills up is regrown (amortized O(total)).
+
+Mutation happens host-side in NumPy (dynamic ops are control-plane work); the
+device view used by jitted search is cached and invalidated on mutation.
+`window` — the static gather width used by search — is max(caps) rounded up
+to a lane multiple so shape churn (recompiles) is rare.
+
+Id semantics are positional, exactly like the reference (SURVEY §2.3): live
+external ids always form {0..n-1}; delete/pushfirst shift neighbors
+(/root/reference/src/utils.jl:2-20).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class PostingStore:
+    def __init__(self, kc: int, m: int, code_dtype: np.dtype, *,
+                 offsets: np.ndarray, caps: np.ndarray, sizes: np.ndarray,
+                 codes: np.ndarray, ids: np.ndarray):
+        self.kc = kc
+        self.m = m
+        self.code_dtype = np.dtype(code_dtype)
+        self.offsets = offsets       # (kc,) int64
+        self.caps = caps             # (kc,) int64
+        self.sizes = sizes           # (kc,) int64
+        self.codes = codes           # (total_cap, m) code_dtype
+        self.ids = ids               # (total_cap,) int64, -1 = empty slot
+        self._device: Optional[Dict] = None
+
+    # ------------------------------------------------------------------ build
+    @classmethod
+    def build(cls, assignments: np.ndarray, codes: np.ndarray, kc: int,
+              slack: float = 1.25) -> "PostingStore":
+        """Sort n points by cell into padded CSR. ids = insertion order 0..n-1
+        (the reference's `idxs .- 1` 0-basing, /root/reference/src/index.jl:189)."""
+        assignments = np.asarray(assignments, np.int64)
+        codes = np.asarray(codes)
+        n, m = codes.shape
+        counts = np.bincount(assignments, minlength=kc).astype(np.int64)
+        caps = np.maximum(_round_up(8, 8),
+                          (counts.astype(np.float64) * slack).astype(np.int64) + 8)
+        offsets = np.zeros(kc, np.int64)
+        np.cumsum(caps[:-1], out=offsets[1:])
+        total = int(offsets[-1] + caps[-1])
+        flat_codes = np.zeros((total, m), codes.dtype)
+        flat_ids = np.full(total, -1, np.int64)
+        order = np.argsort(assignments, kind="stable")
+        starts = np.zeros(kc, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        # Position of each (sorted) point inside its cell + its cell's offset.
+        within = np.arange(n, dtype=np.int64) - starts[assignments[order]]
+        slots = offsets[assignments[order]] + within
+        flat_codes[slots] = codes[order]
+        flat_ids[slots] = order
+        return cls(kc, m, codes.dtype, offsets=offsets, caps=caps,
+                   sizes=counts, codes=flat_codes, ids=flat_ids)
+
+    # ------------------------------------------------------------- properties
+    @property
+    def n(self) -> int:
+        return int(self.sizes.sum())
+
+    @property
+    def window(self) -> int:
+        """Static gather width for jitted search (>= every cell size)."""
+        return _round_up(max(1, int(self.caps.max())), _LANE)
+
+    def valid_mask(self) -> np.ndarray:
+        return self.ids >= 0
+
+    def cell_entries(self, cell: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(ids, codes) of one cell — introspection parity with the
+        reference's `inverse_index[c].idxs/.codes` (test/utils.jl:79-81)."""
+        o, s = int(self.offsets[cell]), int(self.sizes[cell])
+        return self.ids[o:o + s].copy(), self.codes[o:o + s].copy()
+
+    # -------------------------------------------------------------- mutation
+    def _invalidate(self):
+        self._device = None
+
+    def append(self, cell: int, code_row: np.ndarray, ext_id: int) -> None:
+        if self.sizes[cell] >= self.caps[cell]:
+            self._grow_cell(cell)
+        slot = int(self.offsets[cell] + self.sizes[cell])
+        self.codes[slot] = code_row
+        self.ids[slot] = ext_id
+        self.sizes[cell] += 1
+        self._invalidate()
+
+    def _grow_cell(self, cell: int) -> None:
+        new_caps = self.caps.copy()
+        new_caps[cell] = max(self.caps[cell] * 2, 16)
+        new_offsets = np.zeros(self.kc, np.int64)
+        np.cumsum(new_caps[:-1], out=new_offsets[1:])
+        total = int(new_offsets[-1] + new_caps[-1])
+        new_codes = np.zeros((total, self.m), self.code_dtype)
+        new_ids = np.full(total, -1, np.int64)
+        for c in range(self.kc):
+            s = int(self.sizes[c])
+            if s:
+                o_old, o_new = int(self.offsets[c]), int(new_offsets[c])
+                new_codes[o_new:o_new + s] = self.codes[o_old:o_old + s]
+                new_ids[o_new:o_new + s] = self.ids[o_old:o_old + s]
+        self.offsets, self.caps = new_offsets, new_caps
+        self.codes, self.ids = new_codes, new_ids
+        self._invalidate()
+
+    def find(self, ext_id: int) -> Tuple[int, int]:
+        """-> (cell, slot). Live ids are unique; O(total) scan like the
+        reference's `_pop!` list walk (/root/reference/src/utils.jl:49-55)."""
+        hits = np.nonzero(self.ids == ext_id)[0]
+        if hits.size == 0:
+            raise KeyError(f"id {ext_id} not in index")
+        slot = int(hits[0])
+        cell = int(np.searchsorted(self.offsets, slot, side="right") - 1)
+        return cell, slot
+
+    def remove_slot(self, cell: int, slot: int) -> np.ndarray:
+        """Swap-remove one posting; returns its code row. (Order within a cell
+        is not part of the contract — the reference's delete test matches
+        codes by id, not by position, test/utils.jl:84-104.)"""
+        last = int(self.offsets[cell] + self.sizes[cell] - 1)
+        code = self.codes[slot].copy()
+        self.codes[slot] = self.codes[last]
+        self.ids[slot] = self.ids[last]
+        self.codes[last] = 0
+        self.ids[last] = -1
+        self.sizes[cell] -= 1
+        self._invalidate()
+        return code
+
+    def shift_ids(self, threshold: int, delta: int) -> None:
+        """ids > threshold += delta over ALL cells — the reference's
+        `_shift_inverse_index!` (/root/reference/src/utils.jl:16-20), here one
+        vectorized masked add instead of an O(n) dict rebuild."""
+        mask = self.ids > threshold
+        self.ids[mask] += delta
+        self._invalidate()
+
+    def delete_ids(self, ext_ids: np.ndarray) -> int:
+        """Batch delete + positional re-numbering: every surviving id drops by
+        the number of deleted ids below it (reference semantics,
+        /root/reference/src/utils.jl:90-105, but O(total log D) vectorized
+        instead of O(D * total))."""
+        dels = np.unique(np.asarray(ext_ids, np.int64))
+        if dels.size == 0:
+            return 0
+        hit = np.isin(self.ids, dels) & (self.ids >= 0)
+        hit_slots = np.nonzero(hit)[0]
+        if hit_slots.size != dels.size:
+            missing = np.setdiff1d(dels, self.ids[hit_slots])
+            raise KeyError(f"ids not in index: {missing[:10].tolist()}")
+        cells = np.searchsorted(self.offsets, hit_slots, side="right") - 1
+        for cell in np.unique(cells):
+            o, s = int(self.offsets[cell]), int(self.sizes[cell])
+            keep = ~hit[o:o + s]
+            kept = int(keep.sum())
+            self.codes[o:o + kept] = self.codes[o:o + s][keep]
+            self.ids[o:o + kept] = self.ids[o:o + s][keep]
+            self.codes[o + kept:o + s] = 0
+            self.ids[o + kept:o + s] = -1
+            self.sizes[cell] = kept
+        live = self.ids >= 0
+        self.ids[live] -= np.searchsorted(dels, self.ids[live])
+        self._invalidate()
+        return int(dels.size)
+
+    # ---------------------------------------------------------------- device
+    def device_view(self) -> Dict:
+        """Cached jnp arrays for the jitted search path."""
+        if self._device is None:
+            import jax.numpy as jnp
+            self._device = dict(
+                offsets=jnp.asarray(self.offsets, jnp.int32),
+                sizes=jnp.asarray(self.sizes, jnp.int32),
+                codes=jnp.asarray(self.codes),
+                ids=jnp.asarray(self.ids, jnp.int32),
+            )
+        return self._device

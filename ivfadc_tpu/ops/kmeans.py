@@ -1,0 +1,170 @@
+"""Batched k-means for TPU.
+
+Replaces Clustering.jl's `kmeans(data, kc; init=:kmpp, maxiter, distance)`
+as called by the reference at /root/reference/src/index.jl:129-134.
+
+TPU-first design:
+  * assignment = one fused `||x||^2 + ||c||^2 - 2 x c^T` matmul + argmin per
+    block of points (MXU-bound), streamed with `lax.scan` so the (n, k)
+    distance matrix is never materialized;
+  * centroid update = one-hot matmul (block, k)^T @ (block, d) accumulated in
+    the same scan — scatter-free segment sum, also MXU-bound;
+  * k-means++ seeding = `lax.fori_loop` of rank-1 distance updates + weighted
+    categorical sampling via cumsum/searchsorted;
+  * empty clusters are re-seeded each iteration to the currently-farthest
+    points (Clustering.jl repairs empties too; exact policy differs — parity
+    is asserted on recall, not centroids, per SURVEY §7).
+
+Everything is jittable with static (n, d, k, maxiter, block) and vmappable
+(PQ training vmaps this over the m subspaces).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ivfadc_tpu.ops.metrics import Metric, SQEUCLIDEAN
+
+
+class KMeansResult(NamedTuple):
+    centers: jax.Array       # (k, d) float32
+    assignments: jax.Array   # (n,) int32
+
+
+def _pad_blocks(x: jax.Array, block: int):
+    """Zero-pad points to a multiple of `block`; returns (blocks, mask_blocks)."""
+    n, d = x.shape
+    nb = -(-n // block)
+    pad = nb * block - n
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    mask = jnp.pad(jnp.ones((n,), jnp.float32), (0, pad))
+    return xp.reshape(nb, block, d), mask.reshape(nb, block)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def kmeans_plus_plus(key: jax.Array, x: jax.Array, k: int,
+                     metric: Metric = SQEUCLIDEAN) -> jax.Array:
+    """k-means++ seeding (:kmpp at /root/reference/src/index.jl:133).
+
+    Returns (k, d) float32 initial centers. O(k * n * d), bandwidth-bound.
+    """
+    n, d = x.shape
+    x = x.astype(jnp.float32)
+    k0, kloop = jax.random.split(key)
+    first = x[jax.random.randint(k0, (), 0, n)]
+    centers0 = jnp.zeros((k, d), jnp.float32).at[0].set(first)
+    mind0 = metric.pairwise(x, first[None, :])[:, 0]
+
+    def body(j, carry):
+        centers, mind = carry
+        kj = jax.random.fold_in(kloop, j)
+        w = jnp.maximum(mind, 0.0)
+        cum = jnp.cumsum(w)
+        total = cum[-1]
+        u = jax.random.uniform(kj, ()) * jnp.maximum(total, 1e-30)
+        idx = jnp.searchsorted(cum, u)
+        idx = jnp.clip(idx, 0, n - 1)
+        # Degenerate guard: all residual mass zero -> fall back to uniform pick.
+        idx = jnp.where(total > 0, idx, jax.random.randint(kj, (), 0, n))
+        c = x[idx]
+        centers = centers.at[j].set(c)
+        mind = jnp.minimum(mind, metric.pairwise(x, c[None, :])[:, 0])
+        return centers, mind
+
+    centers, _ = jax.lax.fori_loop(1, k, body, (centers0, mind0))
+    return centers
+
+
+def _assign_pass(x_blocks, mask_blocks, centers, metric: Metric):
+    """One streamed pass: per-point argmin/min plus accumulated one-hot sums.
+
+    Returns (assignments (nb, block) int32, mindists (nb, block) f32,
+             sums (k, d) f32, counts (k,) f32).
+    """
+    k = centers.shape[0]
+
+    def step(carry, xb_mb):
+        sums, counts = carry
+        xb, mb = xb_mb
+        dist = metric.pairwise(xb, centers)                  # (block, k)
+        a = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        md = jnp.min(dist, axis=1)
+        onehot = jax.nn.one_hot(a, k, dtype=jnp.float32) * mb[:, None]
+        sums = sums + jnp.dot(onehot.T, xb, preferred_element_type=jnp.float32)
+        counts = counts + jnp.sum(onehot, axis=0)
+        # Invalidate padded points so they are never picked as re-seed targets.
+        md = jnp.where(mb > 0, md, -jnp.inf)
+        return (sums, counts), (a, md)
+
+    d = x_blocks.shape[-1]
+    init = (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32))
+    (sums, counts), (assigns, mindists) = jax.lax.scan(
+        step, init, (x_blocks, mask_blocks))
+    return assigns, mindists, sums, counts
+
+
+@functools.partial(jax.jit, static_argnames=("k", "maxiter", "block", "metric"))
+def _kmeans_impl(key, x, k: int, maxiter: int, block: int, metric: Metric,
+                 init_centers):
+    n, d = x.shape
+    x = x.astype(jnp.float32)
+    x_blocks, mask_blocks = _pad_blocks(x, block)
+    flat_x = x_blocks.reshape(-1, d)
+
+    def iteration(_, centers):
+        _, mindists, sums, counts = _assign_pass(x_blocks, mask_blocks,
+                                                 centers, metric)
+        new_centers = sums / jnp.maximum(counts[:, None], 1.0)
+        empty = counts < 0.5
+        # Re-seed empty clusters at the k farthest points (static top-k shape).
+        far_idx = jax.lax.top_k(mindists.reshape(-1), k)[1]
+        slot = jnp.cumsum(empty.astype(jnp.int32)) - 1     # rank among empties
+        reseed = flat_x[far_idx[jnp.clip(slot, 0, k - 1)]]
+        new_centers = jnp.where(empty[:, None], reseed, new_centers)
+        # Keep the old center when a cluster is empty AND there is no mass to
+        # re-seed from (degenerate tiny inputs).
+        any_mass = jnp.isfinite(jnp.max(mindists))
+        return jnp.where(any_mass | ~empty[:, None], new_centers, centers)
+
+    centers = jax.lax.fori_loop(0, maxiter, iteration, init_centers)
+    assigns, _, _, _ = _assign_pass(x_blocks, mask_blocks, centers, metric)
+    return centers, assigns.reshape(-1)[:n]
+
+
+def kmeans(key: jax.Array, x: jax.Array, k: int, *,
+           maxiter: int = 25, metric: Metric = SQEUCLIDEAN,
+           init: str = "kmeans++", block: int = 16384,
+           pp_sample: int = 0) -> KMeansResult:
+    """Lloyd k-means. `x` is (n, d); returns float32 centers + int32 assignments.
+
+    `pp_sample > 0` runs the k-means++ seeding on a uniform subsample of at
+    most that many points (a standard large-n accelerator; 0 = all points).
+    """
+    n, d = x.shape
+    if k > n:
+        raise AssertionError(f"k={k} must be <= number of points {n}")
+    if not metric.trainable:
+        raise ValueError(f"metric {metric.name!r} does not support k-means training")
+    key_init, key_seed = jax.random.split(jax.random.fold_in(key, k))
+    x = jnp.asarray(x, jnp.float32)
+    block = min(block, max(256, n))
+
+    if init == "kmeans++":
+        xs = x
+        if pp_sample and pp_sample < n:
+            sel = jax.random.choice(key_seed, n, (pp_sample,), replace=False)
+            xs = x[sel]
+        init_centers = kmeans_plus_plus(key_init, xs, k, metric)
+    elif init == "random":
+        sel = jax.random.choice(key_init, n, (k,), replace=False)
+        init_centers = x[sel]
+    else:
+        raise ValueError(f"unknown init {init!r}")
+
+    centers, assignments = _kmeans_impl(key, x, k, maxiter, block, metric,
+                                        init_centers)
+    return KMeansResult(centers, assignments)

@@ -1,0 +1,193 @@
+"""Product quantization (PQ) and optimized PQ (OPQ) for TPU.
+
+Replaces QuantizedArrays.jl as used by the reference:
+  * `build_quantizer(residuals; k, m, method, distance, maxiter)`
+    (/root/reference/src/index.jl:142-147) -> `train_quantizer`
+  * `quantize_data(rq, X)` (/root/reference/src/index.jl:187,
+    /root/reference/src/utils.jl:158) -> `encode`
+  * reconstruction used by `_decode_point` (/root/reference/src/utils.jl:71-81)
+    -> `decode`. NOTE divergence (deliberate fix, SURVEY §2.3): the reference
+    forgets to apply the inverse OPQ rotation when reconstructing; we apply
+    `rot^T` so OPQ decode is correct.
+  * `rowrange(d, m, i)` contiguous subspace slices -> a plain (n, m, dsub)
+    reshape (we require m | d; the reference allows ragged subspaces).
+
+TPU-first design: the m per-subspace k-means trainings are one `vmap` over the
+leading subspace axis (identical shapes -> one compiled program, subspaces run
+as one batched matmul pipeline). Encoding is a batched distance matmul +
+argmin. OPQ learns the d x d rotation by alternating encode / orthogonal
+Procrustes (SVD), per Ge et al. 2013.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ivfadc_tpu.config import code_dtype_for_k
+from ivfadc_tpu.ops.metrics import Metric, SQEUCLIDEAN
+from ivfadc_tpu.ops import kmeans as kmeans_ops
+
+
+class ProductQuantizer(NamedTuple):
+    """Trained residual quantizer.
+
+    codebooks: (m, k, dsub) float32 — per-subspace codeword tables
+               (QuantizedArrays' `codebooks[i].vectors`, transposed layout).
+    rotation:  (d, d) float32 orthogonal — identity for method="pq"
+               (QuantizedArrays' `.rot`).
+    method:    "pq" | "opq".
+    """
+    codebooks: jax.Array
+    rotation: jax.Array
+    method: str
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.codebooks.shape[1]
+
+    @property
+    def dsub(self) -> int:
+        return self.codebooks.shape[2]
+
+    @property
+    def d(self) -> int:
+        return self.m * self.dsub
+
+    @property
+    def code_dtype(self):
+        return jnp.dtype(code_dtype_for_k(self.k))
+
+
+def _to_subspaces(x: jax.Array, m: int) -> jax.Array:
+    """(n, d) -> (m, n, dsub) contiguous-rows split (rowrange parity)."""
+    n, d = x.shape
+    return jnp.moveaxis(x.reshape(n, m, d // m), 1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "maxiter", "metric", "block"))
+def _train_codebooks(key, subspaces, k, maxiter, metric, block):
+    """vmapped k-means over the m subspaces. subspaces: (m, n, dsub)."""
+    m = subspaces.shape[0]
+    keys = jax.random.split(key, m)
+
+    def train_one(kk, xs):
+        res = kmeans_ops._kmeans_impl(
+            kk, xs, k, maxiter, block,
+            metric, kmeans_ops.kmeans_plus_plus(kk, xs, k, metric))
+        return res[0]
+
+    return jax.vmap(train_one)(keys, subspaces)
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _encode_subspaces(codebooks, subspaces, metric):
+    """subspaces (m, n, dsub) x codebooks (m, k, dsub) -> codes (n, m) int32."""
+    def enc_one(xs, cb):
+        return jnp.argmin(metric.pairwise(xs, cb), axis=1).astype(jnp.int32)
+    return jax.vmap(enc_one)(subspaces, codebooks).T
+
+
+def train_quantizer(key: jax.Array, residuals: jax.Array, *, m: int, k: int,
+                    method: str = "pq", maxiter: int = 25,
+                    metric: Metric = SQEUCLIDEAN, opq_iters: int = 4,
+                    block: int = 16384) -> ProductQuantizer:
+    """Train a PQ/OPQ quantizer on (n, d) residual vectors."""
+    n, d = residuals.shape
+    if d % m != 0:
+        raise AssertionError(f"m={m} must divide d={d}")
+    residuals = jnp.asarray(residuals, jnp.float32)
+    block = min(block, max(256, n))
+    eye = jnp.eye(d, dtype=jnp.float32)
+
+    if method == "pq":
+        cb = _train_codebooks(key, _to_subspaces(residuals, m), k, maxiter,
+                              metric, block)
+        return ProductQuantizer(cb, eye, "pq")
+
+    if method != "opq":
+        raise ValueError(f"unknown quantization method {method!r}")
+
+    # OPQ (Ge et al. 2013, non-parametric): alternate
+    #   (1) train/refresh codebooks on rotated data,
+    #   (2) rotation <- argmin_R ||X R - X_hat||_F  s.t. R orthogonal
+    #       == Procrustes: R = U V^T from SVD(X^T X_hat).
+    rot = eye
+    cb = None
+    for it in range(max(1, opq_iters)):
+        xr = residuals @ rot
+        cb = _train_codebooks(jax.random.fold_in(key, it),
+                              _to_subspaces(xr, m), k, maxiter, metric, block)
+        codes = _encode_subspaces(cb, _to_subspaces(xr, m), metric)
+        recon = _reconstruct_rotated(cb, codes)          # (n, d) in rotated space
+        # The Procrustes SVD is a tiny (d, d) problem solved once per outer
+        # iteration — do it on host in float64 so the rotation stays orthogonal
+        # to machine precision (JAX's f32 SVD drifts ~1e-3).
+        cov = np.asarray(residuals.T @ recon, dtype=np.float64)
+        u, _, vt = np.linalg.svd(cov, full_matrices=False)
+        rot = jnp.asarray(u @ vt, jnp.float32)
+    return ProductQuantizer(cb, rot, "opq")
+
+
+@jax.jit
+def _reconstruct_rotated(codebooks, codes):
+    """codes (n, m) -> (n, d) reconstruction in the *rotated* space."""
+    m, k, dsub = codebooks.shape
+    gathered = jnp.take_along_axis(
+        codebooks[None],                       # (1, m, k, dsub)
+        codes.astype(jnp.int32)[:, :, None, None],  # (n, m, 1, 1)
+        axis=2,
+    )[:, :, 0, :]                              # (n, m, dsub)
+    return gathered.reshape(codes.shape[0], m * dsub)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "apply_rotation"))
+def _encode_impl(codebooks, rotation, x, metric, apply_rotation):
+    if apply_rotation:
+        x = x @ rotation
+    m = codebooks.shape[0]
+    return _encode_subspaces(codebooks, _to_subspaces(x, m), metric)
+
+
+def encode(pq: ProductQuantizer, residuals: jax.Array,
+           metric: Metric = SQEUCLIDEAN, block: int = 262144) -> jax.Array:
+    """Encode (n, d) residuals -> (n, m) codes (smallest uint dtype for k).
+
+    Chunked over n so the (block, k) distance matrices stay modest.
+    """
+    residuals = jnp.asarray(residuals, jnp.float32)
+    n = residuals.shape[0]
+    apply_rot = pq.method == "opq"
+    outs = []
+    for start in range(0, n, block):
+        chunk = residuals[start:start + block]
+        outs.append(_encode_impl(pq.codebooks, pq.rotation, chunk, metric,
+                                 apply_rot))
+    codes = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return codes.astype(pq.code_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("apply_rotation",))
+def _decode_impl(codebooks, rotation, codes, apply_rotation):
+    recon = _reconstruct_rotated(codebooks, codes)
+    if apply_rotation:
+        recon = recon @ rotation.T   # inverse of orthogonal rotation
+    return recon
+
+
+def decode(pq: ProductQuantizer, codes: jax.Array) -> jax.Array:
+    """Decode (n, m) codes -> (n, d) approximate residuals.
+
+    Applies rot^T for OPQ — fixing the reference's `_decode_point`
+    (/root/reference/src/utils.jl:71-81), which skips the inverse rotation.
+    """
+    return _decode_impl(pq.codebooks, pq.rotation,
+                        jnp.asarray(codes), pq.method == "opq")

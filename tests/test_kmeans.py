@@ -1,0 +1,85 @@
+"""M0 unit tests: k-means vs a NumPy oracle (SURVEY §7 M0)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ivfadc_tpu.ops.kmeans import kmeans, kmeans_plus_plus
+from ivfadc_tpu.ops.metrics import SQEUCLIDEAN, get_metric
+
+
+def _np_assign(x, centers):
+    d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    return d.argmin(1), d.min(1)
+
+
+def test_kmeans_shapes_and_types():
+    x = np.random.RandomState(0).rand(300, 8).astype(np.float32)
+    res = kmeans(jax.random.PRNGKey(0), jnp.asarray(x), 10, maxiter=10)
+    assert res.centers.shape == (10, 8)
+    assert res.assignments.shape == (300,)
+    assert res.assignments.dtype == jnp.int32
+    assert int(res.assignments.max()) < 10
+
+
+def test_kmeans_assignments_are_nearest_center():
+    x = np.random.RandomState(1).rand(500, 6).astype(np.float32)
+    res = kmeans(jax.random.PRNGKey(1), jnp.asarray(x), 8, maxiter=15)
+    a_np, _ = _np_assign(x, np.asarray(res.centers))
+    assert np.array_equal(a_np, np.asarray(res.assignments))
+
+
+def test_kmeans_recovers_separated_clusters():
+    rng = np.random.RandomState(2)
+    centers_true = rng.randn(5, 4) * 20
+    x = np.concatenate([c + 0.1 * rng.randn(50, 4) for c in centers_true])
+    res = kmeans(jax.random.PRNGKey(2), jnp.asarray(x, jnp.float32), 5,
+                 maxiter=20)
+    # every found center must be within noise distance of a true center
+    d = ((np.asarray(res.centers)[:, None] - centers_true[None]) ** 2).sum(-1)
+    assert (d.min(1) < 1.0).all()
+    # objective: mean intra-cluster distance tiny vs data scale
+    _, mind = _np_assign(x, np.asarray(res.centers))
+    assert mind.mean() < 1.0
+
+
+def test_kmeans_objective_decreases_vs_random_centers():
+    rng = np.random.RandomState(3)
+    x = rng.rand(400, 10).astype(np.float32)
+    res = kmeans(jax.random.PRNGKey(3), jnp.asarray(x), 16, maxiter=25)
+    _, mind = _np_assign(x, np.asarray(res.centers))
+    _, mind0 = _np_assign(x, x[rng.choice(400, 16, replace=False)])
+    assert mind.mean() < mind0.mean()
+
+
+def test_kmeanspp_centers_are_data_points():
+    x = np.random.RandomState(4).rand(100, 3).astype(np.float32)
+    c = np.asarray(kmeans_plus_plus(jax.random.PRNGKey(4), jnp.asarray(x), 7))
+    d = ((c[:, None] - x[None]) ** 2).sum(-1).min(1)
+    assert (d < 1e-9).all()
+    # no duplicate seeds on well-spread data
+    assert len({tuple(np.round(r, 6)) for r in c}) == 7
+
+
+def test_kmeans_k_greater_than_n_raises():
+    x = np.random.RandomState(5).rand(10, 3)
+    with pytest.raises(AssertionError):
+        kmeans(jax.random.PRNGKey(0), jnp.asarray(x), 11)
+
+
+def test_kmeans_handles_k_close_to_n():
+    # reference tests build kc=100 cells from 243 points (test/index.jl:1-8)
+    x = np.random.RandomState(6).rand(243, 10).astype(np.float32)
+    res = kmeans(jax.random.PRNGKey(6), jnp.asarray(x), 100, maxiter=25)
+    assert np.isfinite(np.asarray(res.centers)).all()
+    # empty cells are allowed (SURVEY §2.3) but most should be populated
+    used = len(np.unique(np.asarray(res.assignments)))
+    assert used > 50
+
+
+def test_kmeans_deterministic_given_key():
+    x = np.random.RandomState(7).rand(200, 5).astype(np.float32)
+    r1 = kmeans(jax.random.PRNGKey(9), jnp.asarray(x), 6, maxiter=10)
+    r2 = kmeans(jax.random.PRNGKey(9), jnp.asarray(x), 6, maxiter=10)
+    assert np.array_equal(np.asarray(r1.centers), np.asarray(r2.centers))
