@@ -1,0 +1,133 @@
+"""Distributed index *training* (build): data-parallel k-means + PQ encode.
+
+The reference's build is single-threaded (SURVEY §2.4). Here the hot build
+steps are expressed as shard_map programs over the ("data", "shard") mesh:
+
+  * k-means assignment+accumulation runs data-parallel: each device scans its
+    local slice of points, computes per-cluster one-hot partial sums on the
+    MXU, and a `psum` over the data axis produces the exact global Lloyd
+    update — the classic sufficient-statistics reduction.
+  * PQ encoding is embarrassingly data-parallel (pure map over points).
+
+`distributed_kmeans` iterates the step under jit; `train_step` bundles one
+k-means iteration + an encode pass — the "full training step" used by the
+multi-chip dry run.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ivfadc_tpu.ops.metrics import Metric, SQEUCLIDEAN
+from ivfadc_tpu.parallel.mesh import DATA_AXIS, SHARD_AXIS
+
+
+def _local_stats(x_local, mask_local, centers, metric: Metric):
+    """Per-device Lloyd sufficient statistics: (sums (k,d), counts (k,))."""
+    k = centers.shape[0]
+    dist = metric.pairwise(x_local, centers)
+    a = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    onehot = jax.nn.one_hot(a, k, dtype=jnp.float32) * mask_local[:, None]
+    sums = jnp.dot(onehot.T, x_local, preferred_element_type=jnp.float32)
+    counts = jnp.sum(onehot, axis=0)
+    return a, sums, counts
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "metric"))
+def distributed_kmeans_step(centers, x, mask, *, mesh, metric: Metric):
+    """One exact Lloyd iteration with points sharded over the data axis.
+
+    centers (k, d) replicated; x (n, d) and mask (n,) sharded on DATA_AXIS.
+    Returns (new_centers replicated, assignments sharded).
+    """
+
+    def step(centers_l, x_l, mask_l):
+        a, sums, counts = _local_stats(x_l, mask_l, centers_l, metric)
+        sums = jax.lax.psum(sums, DATA_AXIS)
+        counts = jax.lax.psum(counts, DATA_AXIS)
+        new_centers = sums / jnp.maximum(counts[:, None], 1.0)
+        # keep old center for empty clusters (repair is a host-side concern
+        # in the distributed path)
+        new_centers = jnp.where(counts[:, None] > 0.5, new_centers, centers_l)
+        return new_centers, a
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P(DATA_AXIS)),
+        check_vma=False)
+    return fn(centers, x, mask)
+
+
+def distributed_kmeans(key, x: np.ndarray, k: int, mesh, *,
+                       maxiter: int = 25, metric: Metric = SQEUCLIDEAN
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Full data-parallel Lloyd k-means over the mesh's data axis.
+
+    Seeds from a host-side k-means++ on a subsample (cheap, replicated),
+    then runs `maxiter` exact distributed iterations.
+    Returns (centers (k, d), assignments (n,)).
+    """
+    from ivfadc_tpu.ops.kmeans import kmeans_plus_plus
+
+    n, d = x.shape
+    n_data = mesh.shape[DATA_AXIS]
+    n_pad = ((n + n_data - 1) // n_data) * n_data
+    xp = np.pad(np.asarray(x, np.float32), ((0, n_pad - n), (0, 0)))
+    maskp = np.pad(np.ones(n, np.float32), (0, n_pad - n))
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    xd = jax.device_put(xp, data_sh)
+    maskd = jax.device_put(maskp, data_sh)
+
+    sample = np.asarray(x[np.random.RandomState(0).choice(
+        n, min(n, max(k * 16, 1024)), replace=False)], np.float32)
+    centers = kmeans_plus_plus(key, jnp.asarray(sample), k, metric)
+    centers = jax.device_put(np.asarray(centers), NamedSharding(mesh, P()))
+
+    assignments = None
+    for _ in range(maxiter):
+        centers, assignments = distributed_kmeans_step(
+            centers, xd, maskd, mesh=mesh, metric=metric)
+    return centers, assignments[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "metric", "m"))
+def train_step(centers, codebooks, x, mask, *, mesh, metric: Metric, m: int):
+    """One full distributed training step (used by the multi-chip dry run):
+
+      1. data-parallel Lloyd iteration over the coarse centers (dp + psum);
+      2. residual computation against the updated centers;
+      3. PQ encode of the local residuals against replicated codebooks.
+
+    x/mask sharded on DATA_AXIS; centers/codebooks replicated.
+    Returns (new_centers, assignments, codes) with codes sharded on DATA_AXIS.
+    """
+
+    def step(centers_l, codebooks_l, x_l, mask_l):
+        a, sums, counts = _local_stats(x_l, mask_l, centers_l, metric)
+        sums = jax.lax.psum(sums, DATA_AXIS)
+        counts = jax.lax.psum(counts, DATA_AXIS)
+        new_centers = sums / jnp.maximum(counts[:, None], 1.0)
+        new_centers = jnp.where(counts[:, None] > 0.5, new_centers, centers_l)
+        resid = x_l - new_centers[a]                       # (nl, d)
+        nl, d = resid.shape
+        sub = resid.reshape(nl, m, d // m)                 # (nl, m, dsub)
+        sub = jnp.moveaxis(sub, 1, 0)                      # (m, nl, dsub)
+        codes = jax.vmap(
+            lambda xs, cb: jnp.argmin(metric.pairwise(xs, cb), axis=1)
+        )(sub, codebooks_l).T.astype(jnp.int32)            # (nl, m)
+        return new_centers, a, codes
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False)
+    return fn(centers, codebooks, x, mask)

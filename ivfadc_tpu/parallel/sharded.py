@@ -1,0 +1,181 @@
+"""Sharded IVFADC search: inverted lists partitioned across a device mesh.
+
+Design (SURVEY §5 "Distributed communication backend", BASELINE north_star):
+  * cells are assigned round-robin to S shards; each shard holds the full
+    CSR arrays but with size 0 for non-local cells — so the single-chip
+    search kernel runs unchanged per shard;
+  * centroids + codebooks are replicated (tiny);
+  * queries are sharded over the "data" mesh axis (data parallelism) and
+    replicated over "shard";
+  * each shard computes a local top-k, then `all_gather` over the shard axis
+    + a final top-k merge produces the exact global result — identical ids
+    to the single-chip path.
+
+All collective logic lives in one `shard_map`-wrapped function; XLA lowers
+the gather to ICI all-gathers on a real slice.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ivfadc_tpu.models.index import IVFADCIndex, _bucket_batch
+from ivfadc_tpu.ops.adc import build_adc_tables, scan_postings
+from ivfadc_tpu.ops.metrics import Metric
+from ivfadc_tpu.parallel.mesh import DATA_AXIS, SHARD_AXIS, make_mesh
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def partition_store(store, n_shards: int):
+    """Split one PostingStore into S stacked per-shard CSR array sets.
+
+    Cells are dealt round-robin (cell c -> shard c % S) so load is balanced
+    in expectation. Every shard keeps (kc,) offset/size arrays — non-local
+    cells have size 0 and scan as empty windows, exactly like the reference's
+    empty-cell tolerance (SURVEY §2.3).
+    Returns dict of np arrays with leading shard axis.
+    """
+    kc, m = store.kc, store.m
+    sizes_per = np.zeros((n_shards, kc), np.int32)
+    for c in range(kc):
+        sizes_per[c % n_shards, c] = store.sizes[c]
+    caps_per = np.maximum(_round_up(8, 8), sizes_per + 8)
+    # uniform per-shard capacity so arrays stack
+    offsets_per = np.zeros((n_shards, kc), np.int64)
+    for s in range(n_shards):
+        np.cumsum(caps_per[s, :-1], out=offsets_per[s, 1:])
+    totals = offsets_per[:, -1] + caps_per[:, -1]
+    cap_shard = _round_up(int(totals.max()), _LANE)
+    codes = np.zeros((n_shards, cap_shard, m), store.code_dtype)
+    ids = np.full((n_shards, cap_shard), -1, np.int64)
+    for c in range(kc):
+        s = c % n_shards
+        o_src, sz = int(store.offsets[c]), int(store.sizes[c])
+        o_dst = int(offsets_per[s, c])
+        codes[s, o_dst:o_dst + sz] = store.codes[o_src:o_src + sz]
+        ids[s, o_dst:o_dst + sz] = store.ids[o_src:o_src + sz]
+    window = _round_up(max(1, int(sizes_per.max())), _LANE)
+    return dict(offsets=offsets_per.astype(np.int32),
+                sizes=sizes_per.astype(np.int32),
+                codes=codes, ids=ids.astype(np.int32), window=window)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "w", "window", "metric", "include_base",
+                     "apply_rot", "residual_based"))
+def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
+                         queries, *, mesh, k: int, w: int, window: int,
+                         metric: Metric, include_base: bool, apply_rot: bool,
+                         residual_based: bool):
+    """Queries (B, d) replicated over shard / sharded over data; per-shard CSR
+    arrays stacked on a leading shard axis. Returns replicated-over-shard
+    (B, k) global ids + dists."""
+
+    def local_search(cq_l, cb_l, rot_l, off_l, siz_l, cod_l, ids_l, q_l):
+        # strip the leading per-shard axis added by shard_map
+        off_l, siz_l = off_l[0], siz_l[0]
+        cod_l, ids_l = cod_l[0], ids_l[0]
+        cells, cdists = cq_l.search(q_l, w)
+        cent = cq_l.centroids[cells]
+        if residual_based:
+            vecs = q_l[:, None, :] - cent
+            base = cdists if include_base else jnp.zeros_like(cdists)
+        else:
+            vecs = jnp.broadcast_to(q_l[:, None, :],
+                                    (q_l.shape[0], w, q_l.shape[1]))
+            base = jax.vmap(metric.pairwise)(q_l[:, None, :], cent)[:, 0, :]
+        if apply_rot:
+            vecs = vecs @ rot_l
+        tables = build_adc_tables(metric, vecs, codebooks=cb_l)
+        loc_ids, loc_d = scan_postings(tables, base, cells, off_l, siz_l,
+                                       cod_l, ids_l, k=k, window=window)
+        # Cross-shard exact top-k merge: gather every shard's k candidates,
+        # re-rank. (k*S, B) stays tiny; rides ICI on a real slice.
+        all_ids = jax.lax.all_gather(loc_ids, SHARD_AXIS)   # (S, Bl, k)
+        all_d = jax.lax.all_gather(loc_d, SHARD_AXIS)
+        S = all_ids.shape[0]
+        all_ids = jnp.moveaxis(all_ids, 0, 1).reshape(q_l.shape[0], S * k)
+        all_d = jnp.moveaxis(all_d, 0, 1).reshape(q_l.shape[0], S * k)
+        neg, which = jax.lax.top_k(-all_d, k)
+        out_ids = jnp.take_along_axis(all_ids, which, axis=1)
+        return out_ids, -neg
+
+    fn = shard_map(
+        local_search, mesh=mesh,
+        in_specs=(P(), P(), P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                  P(SHARD_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False)
+    out_ids, out_d = fn(cq, codebooks, rotation, offsets, sizes, codes, ids,
+                        queries.astype(jnp.float32))
+    return out_ids, metric.finalize(out_d)
+
+
+class ShardedIVFADCIndex:
+    """Search-serving view of an IVFADCIndex with lists sharded over a mesh.
+
+    Build once from a (host-built or loaded) index:
+        mesh = make_mesh(n_shards=8)
+        sidx = ShardedIVFADCIndex(idx, mesh)
+        ids, dists = sidx.search_padded(queries, k=10, w=8)
+    Results are exactly the single-chip results (same top-k, merged).
+    """
+
+    def __init__(self, index: IVFADCIndex, mesh=None):
+        self.index = index
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_shards = self.mesh.shape[SHARD_AXIS]
+        parts = partition_store(index.store, self.n_shards)
+        self.window = parts.pop("window")
+        shard_sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
+        self.arrays = {
+            name: jax.device_put(arr, shard_sharding)
+            for name, arr in parts.items()
+        }
+        repl = NamedSharding(self.mesh, P())
+        self.codebooks = jax.device_put(
+            np.asarray(index.quantizer.codebooks), repl)
+        self.rotation = jax.device_put(
+            np.asarray(index.quantizer.rotation), repl)
+        self.coarse = jax.tree_util.tree_map(
+            lambda a: jax.device_put(np.asarray(a), repl), index.coarse)
+
+    def search_padded(self, queries: np.ndarray, k: int, w: int = 1
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        if k < 1:
+            raise AssertionError("k has to be >= 1")
+        if w < 1:
+            raise AssertionError("w has to be >= 1")
+        cfg = self.index.config
+        w = min(w, cfg.kc)
+        queries = np.asarray(queries, np.float32)
+        B = queries.shape[0]
+        n_data = self.mesh.shape[DATA_AXIS]
+        Bp = _bucket_batch(max(B, n_data))
+        Bp = ((Bp + n_data - 1) // n_data) * n_data
+        q = np.pad(queries, ((0, Bp - B), (0, 0)))
+        q = jax.device_put(q, NamedSharding(self.mesh, P(DATA_AXIS)))
+        include_base = (cfg.score_mode == "reference"
+                        or not self.index.quant_metric.residual_based)
+        ids, dists = _sharded_search_impl(
+            self.coarse, self.codebooks, self.rotation,
+            self.arrays["offsets"], self.arrays["sizes"],
+            self.arrays["codes"], self.arrays["ids"], q,
+            mesh=self.mesh, k=k, w=w, window=self.window,
+            metric=self.index.quant_metric, include_base=include_base,
+            apply_rot=self.index.quantizer.method == "opq",
+            residual_based=self.index.quant_metric.residual_based)
+        return np.asarray(ids)[:B], np.asarray(dists)[:B]

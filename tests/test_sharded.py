@@ -1,0 +1,103 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY §4: distributed
+logic testable without a pod)."""
+
+import jax
+import numpy as np
+import pytest
+
+from ivfadc_tpu import IVFADCIndex
+from ivfadc_tpu.parallel.mesh import make_mesh, SHARD_AXIS, DATA_AXIS
+from ivfadc_tpu.parallel.sharded import ShardedIVFADCIndex, partition_store
+from ivfadc_tpu.parallel.distributed import (distributed_kmeans, train_step)
+
+
+@pytest.fixture(scope="module")
+def base_index():
+    rng = np.random.RandomState(0)
+    centers = rng.randn(16, 16).astype(np.float32) * 5
+    base = np.concatenate(
+        [c + rng.randn(64, 16).astype(np.float32) for c in centers])
+    idx = IVFADCIndex.build(base, kc=16, k=32, m=4, seed=0)
+    return base, idx
+
+
+def test_partition_store_covers_everything(base_index):
+    _, idx = base_index
+    parts = partition_store(idx.store, 4)
+    # every live id appears exactly once across shards
+    ids = parts["ids"][parts["ids"] >= 0]
+    assert sorted(ids.tolist()) == list(range(len(idx)))
+    # cell c lives on shard c % 4
+    for c in range(idx.config.kc):
+        for s in range(4):
+            expected = idx.store.sizes[c] if s == c % 4 else 0
+            assert parts["sizes"][s, c] == expected
+
+
+@pytest.mark.parametrize("n_shards,n_data", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_search_matches_single_chip(base_index, n_shards, n_data):
+    base, idx = base_index
+    mesh = make_mesh(n_shards=n_shards, n_data=n_data)
+    sidx = ShardedIVFADCIndex(idx, mesh)
+    q = base[np.random.RandomState(1).choice(len(base), 24, replace=False)]
+    ids_s, d_s = sidx.search_padded(q, 10, w=4)
+    ids_1, d_1 = idx.search_padded(q, 10, w=4)
+    # exact same neighbor sets and distances (merge is exact); order can
+    # differ only between equal distances
+    np.testing.assert_allclose(np.sort(d_s, 1), np.sort(d_1, 1), rtol=1e-5)
+    same = [set(a[a >= 0]) == set(b[b >= 0]) for a, b in zip(ids_s, ids_1)]
+    assert np.mean(same) == 1.0
+
+
+def test_sharded_search_two_level_coarse(base_index):
+    base, _ = base_index
+    idx = IVFADCIndex.build(base, kc=16, k=32, m=4, seed=0,
+                            coarse_quantizer="hnsw")
+    mesh = make_mesh(n_shards=8)
+    sidx = ShardedIVFADCIndex(idx, mesh)
+    q = base[:8]
+    ids_s, _ = sidx.search_padded(q, 5, w=4)
+    ids_1, _ = idx.search_padded(q, 5, w=4)
+    same = [set(a[a >= 0]) == set(b[b >= 0]) for a, b in zip(ids_s, ids_1)]
+    assert np.mean(same) == 1.0
+
+
+def test_distributed_kmeans_matches_quality():
+    rng = np.random.RandomState(2)
+    true = rng.randn(8, 12).astype(np.float32) * 10
+    x = np.concatenate([c + 0.1 * rng.randn(100, 12).astype(np.float32)
+                        for c in true])
+    mesh = make_mesh(n_shards=1, n_data=8)
+    centers, assign = distributed_kmeans(
+        jax.random.PRNGKey(0), x, 8, mesh, maxiter=10)
+    centers = np.asarray(centers)
+    d = ((centers[:, None] - true[None]) ** 2).sum(-1)
+    assert (d.min(1) < 1.0).all()
+    assert np.asarray(assign).shape == (800,)
+
+
+def test_distributed_train_step_runs_and_is_exact():
+    rng = np.random.RandomState(3)
+    x = rng.randn(256, 8).astype(np.float32)
+    mesh = make_mesh(n_shards=2, n_data=4)
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    centers = jax.device_put(x[:4].copy(), NamedSharding(mesh, P()))
+    codebooks = jax.device_put(
+        rng.randn(2, 8, 4).astype(np.float32), NamedSharding(mesh, P()))
+    xd = jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
+    mask = jax.device_put(np.ones(256, np.float32),
+                          NamedSharding(mesh, P(DATA_AXIS)))
+    new_centers, assign, codes = train_step(
+        centers, codebooks, xd, mask, mesh=mesh,
+        metric=__import__("ivfadc_tpu.ops.metrics", fromlist=["SQEUCLIDEAN"]).SQEUCLIDEAN,
+        m=2)
+    # oracle check: one Lloyd step in numpy
+    d = ((x[:, None] - np.asarray(x[:4])[None]) ** 2).sum(-1)
+    a = d.argmin(1)
+    np.testing.assert_array_equal(np.asarray(assign), a)
+    for j in range(4):
+        if (a == j).any():
+            np.testing.assert_allclose(np.asarray(new_centers)[j],
+                                       x[a == j].mean(0), rtol=1e-4)
+    assert np.asarray(codes).shape == (256, 2)
