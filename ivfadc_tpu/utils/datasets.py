@@ -1,0 +1,77 @@
+"""Dataset loaders + synthetic generators for the benchmark configs
+(BASELINE.md: README-toy / SIFT1M / GIST1M / Deep1B-shard).
+
+fvecs/bvecs/ivecs are the TEXMEX formats SIFT1M/GIST1M ship in. This
+environment has no network access, so benchmarks fall back to
+`synthetic_clustered`, which mimics SIFT's clustered structure (a Gaussian
+mixture) — recall numbers are then meaningful, unlike uniform noise.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def read_fvecs(path: str, max_rows: Optional[int] = None) -> np.ndarray:
+    """TEXMEX .fvecs: each row is [int32 d][d x float32]."""
+    with open(path, "rb") as f:
+        head = np.fromfile(f, np.int32, 1)
+        if head.size == 0:
+            return np.empty((0, 0), np.float32)
+        d = int(head[0])
+    row_bytes = 4 * (d + 1)
+    count = -1 if max_rows is None else max_rows
+    raw = np.fromfile(path, np.uint8, count * row_bytes if count > 0 else -1)
+    raw = raw[:len(raw) - len(raw) % row_bytes].reshape(-1, row_bytes)
+    return raw[:, 4:].copy().view(np.float32).reshape(-1, d)
+
+
+def read_bvecs(path: str, max_rows: Optional[int] = None) -> np.ndarray:
+    """TEXMEX .bvecs: each row is [int32 d][d x uint8]."""
+    with open(path, "rb") as f:
+        d = int(np.fromfile(f, np.int32, 1)[0])
+    row_bytes = 4 + d
+    count = -1 if max_rows is None else max_rows
+    raw = np.fromfile(path, np.uint8, count * row_bytes if count > 0 else -1)
+    raw = raw[:len(raw) - len(raw) % row_bytes].reshape(-1, row_bytes)
+    return raw[:, 4:].astype(np.float32)
+
+
+def read_ivecs(path: str) -> np.ndarray:
+    """TEXMEX .ivecs (ground-truth id lists)."""
+    raw = np.fromfile(path, np.int32)
+    d = int(raw[0])
+    return raw.reshape(-1, d + 1)[:, 1:].copy()
+
+
+def synthetic_clustered(n: int, d: int, n_clusters: int = 256,
+                        noise: float = 0.15, seed: int = 0,
+                        dtype=np.float32) -> np.ndarray:
+    """Gaussian-mixture data with SIFT-like cluster structure, generated in
+    blocks to bound memory."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, d).astype(np.float32)
+    out = np.empty((n, d), dtype)
+    block = 1 << 16
+    for start in range(0, n, block):
+        b = min(block, n - start)
+        which = rng.randint(0, n_clusters, b)
+        out[start:start + b] = (centers[which] +
+                                noise * rng.randn(b, d)).astype(dtype)
+    return out
+
+
+def load_or_synthesize(name: str, n: int, d: int, seed: int = 0,
+                       data_dir: Optional[str] = None) -> np.ndarray:
+    """Load a real TEXMEX base file if IVFADC_DATA_DIR provides one, else
+    synthesize a clustered stand-in with the same shape."""
+    data_dir = data_dir or os.environ.get("IVFADC_DATA_DIR", "")
+    if data_dir:
+        for ext, reader in ((".fvecs", read_fvecs), (".bvecs", read_bvecs)):
+            p = os.path.join(data_dir, name + ext)
+            if os.path.exists(p):
+                return reader(p, max_rows=n)
+    return synthetic_clustered(n, d, seed=seed)

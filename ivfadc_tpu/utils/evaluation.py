@@ -1,0 +1,51 @@
+"""Recall evaluation: exact brute-force ground truth + recall@R.
+
+The reference never measures recall (SURVEY §4 "not tested"); BASELINE.md
+makes recall@10 at fixed code size the primary parity metric, so this is
+first-class here. Ground truth runs on device as chunked matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_block(queries, base_block, running_d, running_i, base_offset, k):
+    """Merge the exact top-k of one base block into the running top-k."""
+    qn = jnp.sum(queries * queries, axis=1, keepdims=True)
+    bn = jnp.sum(base_block * base_block, axis=1)
+    d = qn + bn[None, :] - 2.0 * jnp.dot(queries, base_block.T,
+                                         preferred_element_type=jnp.float32)
+    neg, idx = jax.lax.top_k(-d, min(k, base_block.shape[0]))
+    cand_d = jnp.concatenate([running_d, -neg], axis=1)
+    cand_i = jnp.concatenate([running_i, idx + base_offset], axis=1)
+    neg2, which = jax.lax.top_k(-cand_d, k)
+    return -neg2, jnp.take_along_axis(cand_i, which, axis=1)
+
+
+def brute_force_topk(base: np.ndarray, queries: np.ndarray, k: int,
+                     block: int = 131072):
+    """Exact squared-euclidean top-k neighbors. Returns (dists, ids) np arrays."""
+    queries = jnp.asarray(queries, jnp.float32)
+    nq = queries.shape[0]
+    run_d = jnp.full((nq, k), jnp.inf, jnp.float32)
+    run_i = jnp.full((nq, k), -1, jnp.int32)
+    n = base.shape[0]
+    for start in range(0, n, block):
+        blk = jnp.asarray(base[start:start + block], jnp.float32)
+        run_d, run_i = _topk_block(queries, blk, run_d, run_i,
+                                   jnp.int32(start), k)
+    return np.asarray(run_d), np.asarray(run_i)
+
+
+def recall_at_r(found_ids: np.ndarray, gt_ids: np.ndarray, r: int) -> float:
+    """Mean |found[:r] ∩ gt[:r]| / r over queries. found may contain -1 pads."""
+    hits = 0
+    for f, g in zip(found_ids, gt_ids):
+        hits += len(set(f[:r].tolist()) & set(g[:r].tolist()) - {-1})
+    return hits / (len(found_ids) * r)
