@@ -86,6 +86,13 @@ class IVFADCConfig:
     score_mode: str = "reference"   # "reference": coarse_dist + sum(ADC table)
                                     #   (parity with /root/reference/src/index.jl:242-246)
                                     # "pure": sum(ADC table) only (classic IVFADC estimator)
+    scan_mode: str = "auto"         # "dense": Pallas kernel over resident bf16
+                                    #   decoded residuals (TPU fast path);
+                                    # "lut": XLA table-lookup scan (memory-lean,
+                                    #   any additive metric);
+                                    # "auto": dense on TPU when the metric
+                                    #   supports it, lut otherwise
+    scan_chunk: int = 1024          # rows per DMA chunk in the dense kernel
 
     def __post_init__(self):
         if self.quantization_method not in VALID_QUANTIZATION_METHODS:
@@ -101,6 +108,8 @@ class IVFADCConfig:
                              f"got {self.index_dtype!r}")
         if self.score_mode not in ("reference", "pure"):
             raise ValueError(f"score_mode must be 'reference' or 'pure', got {self.score_mode!r}")
+        if self.scan_mode not in ("auto", "dense", "lut"):
+            raise ValueError(f"scan_mode must be 'auto', 'dense' or 'lut', got {self.scan_mode!r}")
 
     def validate_for_data(self, n: int, d: int) -> None:
         """Build-time assertions, 1:1 with /root/reference/src/index.jl:116-125."""

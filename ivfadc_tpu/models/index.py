@@ -66,6 +66,60 @@ def _search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids, queries,
     return out_ids, metric.finalize(out_dists)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "w", "chunk", "metric", "include_base", "apply_rot",
+                     "residual_based", "interpret"))
+def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, queries,
+                       *, k: int, w: int, chunk: int, metric: Metric,
+                       include_base: bool, apply_rot: bool,
+                       residual_based: bool, interpret: bool):
+    """Pallas dense-scan search: coarse probe -> per-probe DMA'd matvec scan
+    with on-chip top-k -> global merge. Mathematically identical scores to
+    the LUT path (up to bf16 rounding): see ops/pallas_scan.py."""
+    from ivfadc_tpu.ops.pallas_scan import dense_scan
+
+    queries = queries.astype(jnp.float32)
+    B = queries.shape[0]
+    cells, cdists = cq.search(queries, w)
+    cent = cq.centroids[cells]
+    if residual_based:
+        r = queries[:, None, :] - cent
+        if apply_rot:
+            r = r @ rotation
+        v = -2.0 * r
+        base = jnp.sum(r * r, axis=-1)
+        if include_base:
+            base = base + cdists
+        norm_coef = 1.0
+    else:
+        q = queries @ rotation if apply_rot else queries
+        v = jnp.broadcast_to(-q[:, None, :], (B, w, q.shape[-1]))
+        base = jax.vmap(metric.pairwise)(queries[:, None, :], cent)[:, 0, :]
+        norm_coef = 0.0
+    starts = offsets[cells]
+    szs = sizes[cells]
+    k_out = min(k, 128)
+    out_d, out_p = dense_scan(starts, szs, v, base, decoded,
+                              k_out=k_out, chunk=chunk, norm_coef=norm_coef,
+                              interpret=interpret)
+    n_cand = out_d.shape[-1]
+    flat_d = out_d.reshape(B, w * n_cand)
+    flat_p = out_p.reshape(B, w * n_cand)
+    k_eff = min(k, w * n_cand)
+    neg, which = jax.lax.top_k(-flat_d, k_eff)
+    pos = jnp.take_along_axis(flat_p, which, axis=1)
+    out_ids = jnp.where(pos >= 0, ids[jnp.where(pos >= 0, pos, 0)], -1)
+    out_dists = -neg
+    out_ids = jnp.where(jnp.isfinite(out_dists), out_ids, -1)
+    if k_eff < k:
+        pad = k - k_eff
+        out_ids = jnp.pad(out_ids, ((0, 0), (0, pad)), constant_values=-1)
+        out_dists = jnp.pad(out_dists, ((0, 0), (0, pad)),
+                            constant_values=jnp.inf)
+    return out_ids, metric.finalize(out_dists)
+
+
 def _bucket_batch(b: int) -> int:
     """Pad batch sizes to a small set of buckets to bound jit recompiles."""
     if b <= 8:
@@ -95,6 +149,12 @@ class IVFADCIndex:
             raise ValueError(
                 f"quantization metric {self.quant_metric.name!r} is not "
                 "additive over subspaces — ADC search would be meaningless")
+        if config.scan_mode == "dense" and self.quant_metric.name not in (
+                "sqeuclidean", "euclidean", "inner_product"):
+            raise ValueError(
+                f"scan_mode='dense' does not support metric "
+                f"{self.quant_metric.name!r} (needs a dot-product "
+                f"decomposition); use 'lut'")
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -166,17 +226,46 @@ class IVFADCIndex:
         Bp = _bucket_batch(B)
         q = jnp.asarray(
             np.pad(np.asarray(queries, np.float32), ((0, Bp - B), (0, 0))))
-        dev = self.store.device_view()
         include_base = (self.config.score_mode == "reference"
                         or not self.quant_metric.residual_based)
-        out_ids, out_dists = _search_impl(
-            self.coarse, self.quantizer.codebooks, self.quantizer.rotation,
-            dev["offsets"], dev["sizes"], dev["codes"], dev["ids"], q,
-            k=k, w=w, window=self.store.window, metric=self.quant_metric,
-            include_base=include_base,
-            apply_rot=self.quantizer.method == "opq",
-            residual_based=self.quant_metric.residual_based)
+        mode = self._resolve_scan_mode()
+        if mode == "dense":
+            chunk = self.config.scan_chunk
+            dev = self.store.device_view_dense(self.quantizer, chunk)
+            out_ids, out_dists = _dense_search_impl(
+                self.coarse, self.quantizer.rotation,
+                dev["offsets"], dev["sizes"], dev["decoded"], dev["ids"], q,
+                k=k, w=w, chunk=chunk, metric=self.quant_metric,
+                include_base=include_base,
+                apply_rot=self.quantizer.method == "opq",
+                residual_based=self.quant_metric.residual_based,
+                interpret=jax.default_backend() == "cpu")
+        else:
+            dev = self.store.device_view()
+            out_ids, out_dists = _search_impl(
+                self.coarse, self.quantizer.codebooks, self.quantizer.rotation,
+                dev["offsets"], dev["sizes"], dev["codes"], dev["ids"], q,
+                k=k, w=w, window=self.store.window, metric=self.quant_metric,
+                include_base=include_base,
+                apply_rot=self.quantizer.method == "opq",
+                residual_based=self.quant_metric.residual_based)
         return out_ids[:B], out_dists[:B]
+
+    def _resolve_scan_mode(self) -> str:
+        mode = self.config.scan_mode
+        dense_ok = self.quant_metric.name in ("sqeuclidean", "euclidean",
+                                              "inner_product")
+        if mode == "dense":
+            if not dense_ok:
+                raise ValueError(
+                    f"scan_mode='dense' does not support metric "
+                    f"{self.quant_metric.name!r} (needs a dot-product "
+                    f"decomposition); use 'lut'")
+            return "dense"
+        if mode == "auto":
+            return "dense" if (dense_ok and jax.default_backend() == "tpu") \
+                else "lut"
+        return "lut"
 
     def search(self, points, k: int, w: int = 1):
         """knn_search parity (/root/reference/src/index.jl:204-273).

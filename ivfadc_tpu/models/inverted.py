@@ -49,6 +49,7 @@ class PostingStore:
         self.codes = codes           # (total_cap, m) code_dtype
         self.ids = ids               # (total_cap,) int64, -1 = empty slot
         self._device: Optional[Dict] = None
+        self._device_dense: Optional[Dict] = None
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -60,8 +61,10 @@ class PostingStore:
         codes = np.asarray(codes)
         n, m = codes.shape
         counts = np.bincount(assignments, minlength=kc).astype(np.int64)
-        caps = np.maximum(_round_up(8, 8),
-                          (counts.astype(np.float64) * slack).astype(np.int64) + 8)
+        # capacities (and hence cell offsets) are kept 8-row aligned so the
+        # Pallas dense-scan kernel's DMA starts are sublane-aligned
+        caps = (counts.astype(np.float64) * slack).astype(np.int64) + 8
+        caps = np.maximum(8, ((caps + 7) // 8) * 8)
         offsets = np.zeros(kc, np.int64)
         np.cumsum(caps[:-1], out=offsets[1:])
         total = int(offsets[-1] + caps[-1])
@@ -100,6 +103,7 @@ class PostingStore:
     # -------------------------------------------------------------- mutation
     def _invalidate(self):
         self._device = None
+        self._device_dense = None
 
     def append(self, cell: int, code_row: np.ndarray, ext_id: int) -> None:
         if self.sizes[cell] >= self.caps[cell]:
@@ -112,7 +116,7 @@ class PostingStore:
 
     def _grow_cell(self, cell: int) -> None:
         new_caps = self.caps.copy()
-        new_caps[cell] = max(self.caps[cell] * 2, 16)
+        new_caps[cell] = ((max(self.caps[cell] * 2, 16) + 7) // 8) * 8
         new_offsets = np.zeros(self.kc, np.int64)
         np.cumsum(new_caps[:-1], out=new_offsets[1:])
         total = int(new_offsets[-1] + new_caps[-1])
@@ -190,7 +194,7 @@ class PostingStore:
 
     # ---------------------------------------------------------------- device
     def device_view(self) -> Dict:
-        """Cached jnp arrays for the jitted search path."""
+        """Cached jnp arrays for the jitted LUT search path."""
         if self._device is None:
             import jax.numpy as jnp
             self._device = dict(
@@ -200,3 +204,25 @@ class PostingStore:
                 ids=jnp.asarray(self.ids, jnp.int32),
             )
         return self._device
+
+    def device_view_dense(self, quantizer, chunk: int) -> Dict:
+        """Cached arrays for the Pallas dense-scan path: resident decoded
+        residuals (rotated space, bf16) guard-padded past every cell so
+        chunked DMA never reads out of bounds. Rebuilt lazily after any
+        mutation (the PQ codes remain the source of truth)."""
+        if self._device_dense is None:
+            import jax.numpy as jnp
+            from ivfadc_tpu.ops import pq as pq_ops
+            total = self.codes.shape[0]
+            decoded = pq_ops.decode_rotated(quantizer, self.codes)
+            guard = chunk + _LANE
+            decoded = jnp.pad(decoded, ((0, guard), (0, 0)))
+            self._device_dense = dict(
+                offsets=jnp.asarray(self.offsets, jnp.int32),
+                sizes=jnp.asarray(self.sizes, jnp.int32),
+                decoded=decoded,
+                ids=jnp.asarray(
+                    np.pad(self.ids, (0, guard), constant_values=-1),
+                    jnp.int32),
+            )
+        return self._device_dense

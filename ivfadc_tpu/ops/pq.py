@@ -183,6 +183,34 @@ def _decode_impl(codebooks, rotation, codes, apply_rotation):
     return recon
 
 
+@jax.jit
+def _decode_rotated_onehot(codebooks, codes):
+    """Chunk decode via one-hot MATMUL (TPU-friendly: no element gathers).
+
+    codes (n, m) uint -> (n, d) bf16 reconstruction in the rotated space.
+    Used to materialize the resident decoded-residual cache for the Pallas
+    dense-scan kernel.
+    """
+    m, k, dsub = codebooks.shape
+    onehot = (codes.astype(jnp.int32)[:, :, None] ==
+              jnp.arange(k, dtype=jnp.int32)[None, None, :]
+              ).astype(jnp.bfloat16)                      # (n, m, k)
+    out = jnp.einsum("nmk,mks->nms", onehot,
+                     codebooks.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.bfloat16)
+    return out.reshape(codes.shape[0], m * dsub)
+
+
+def decode_rotated(pq: ProductQuantizer, codes, block: int = 65536):
+    """(n, m) codes -> (n, d) bf16 decoded residuals in the ROTATED space
+    (i.e. without the inverse OPQ rotation — pair with rotated queries)."""
+    codes = jnp.asarray(codes)
+    n = codes.shape[0]
+    outs = [_decode_rotated_onehot(pq.codebooks, codes[s:s + block])
+            for s in range(0, max(n, 1), block)]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
 def decode(pq: ProductQuantizer, codes: jax.Array) -> jax.Array:
     """Decode (n, m) codes -> (n, d) approximate residuals.
 

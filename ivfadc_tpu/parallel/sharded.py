@@ -51,7 +51,7 @@ def partition_store(store, n_shards: int):
     sizes_per = np.zeros((n_shards, kc), np.int32)
     for c in range(kc):
         sizes_per[c % n_shards, c] = store.sizes[c]
-    caps_per = np.maximum(_round_up(8, 8), sizes_per + 8)
+    caps_per = np.maximum(8, ((sizes_per + 8 + 7) // 8) * 8)
     # uniform per-shard capacity so arrays stack
     offsets_per = np.zeros((n_shards, kc), np.int64)
     for s in range(n_shards):

@@ -1,0 +1,93 @@
+"""Dense Pallas scan vs the LUT reference path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from ivfadc_tpu import IVFADCIndex
+
+
+def _build(n=2000, d=32, kc=16, m=4, seed=0, **kw):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(kc, d).astype(np.float32) * 4
+    base = np.concatenate(
+        [c + rng.randn(n // kc, d).astype(np.float32) for c in centers])
+    idx = IVFADCIndex.build(base, kc=kc, k=32, m=m, seed=seed,
+                            coarse_maxiter=10, quantization_maxiter=10, **kw)
+    return base, idx
+
+
+def _compare(idx_dense, idx_lut, queries, k, w):
+    ids_d, dd = idx_dense.search_padded(queries, k, w=w)
+    ids_l, dl = idx_lut.search_padded(queries, k, w=w)
+    # same candidate sets (bf16 rounding can reorder near-ties)
+    overlap = np.mean([
+        len(set(a[a >= 0]) & set(b[b >= 0])) / max(len(set(b[b >= 0])), 1)
+        for a, b in zip(ids_d, ids_l)])
+    assert overlap > 0.95, overlap
+    # distances agree to bf16 tolerance where ids agree
+    agree = ids_d == ids_l
+    np.testing.assert_allclose(dd[agree], dl[agree], rtol=2e-2, atol=1e-2)
+
+
+def test_dense_scan_matches_lut_sqeuclidean():
+    base, idx = _build(scan_mode="dense")
+    _, idx_lut = _build(scan_mode="lut")
+    q = base[np.random.RandomState(1).choice(len(base), 16, replace=False)]
+    _compare(idx, idx_lut, q, k=10, w=4)
+
+
+def test_dense_scan_empty_and_small_cells():
+    # kc close to n -> many tiny/empty cells; kernel must mask correctly
+    base, idx = _build(n=300, kc=64, m=4, scan_mode="dense")
+    q = base[:8]
+    ids, dists = idx.search_padded(q, 20, w=8)
+    valid = ids >= 0
+    assert valid.any(axis=1).all()
+    assert np.isfinite(dists[valid]).all()
+    assert (dists[~valid] == np.inf).all()
+    # no duplicate ids within a query's results
+    for row in ids:
+        live = row[row >= 0]
+        assert len(live) == len(set(live.tolist()))
+
+
+def test_dense_scan_opq():
+    base, idx = _build(scan_mode="dense", quantization_method="opq")
+    _, idx_lut = _build(scan_mode="lut", quantization_method="opq")
+    q = base[:8]
+    _compare(idx, idx_lut, q, k=5, w=4)
+
+
+def test_dense_scan_inner_product_matches_lut():
+    # the dense kernel must reproduce the LUT path's -q.x_hat estimator
+    # exactly (PQ quantization error itself is config-dependent and tested
+    # at the estimator level in test_search.py)
+    base, idx = _build(scan_mode="dense",
+                       quantization_metric="inner_product")
+    _, idx_lut = _build(scan_mode="lut",
+                        quantization_metric="inner_product")
+    q = np.random.RandomState(2).randn(4, 32).astype(np.float32)
+    ids_d, dd = idx.search_padded(q, 10, w=16)
+    ids_l, dl = idx_lut.search_padded(q, 10, w=16)
+    same = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                    for a, b in zip(ids_d, ids_l)])
+    assert same > 0.9, (ids_d, ids_l)
+    agree = ids_d == ids_l
+    np.testing.assert_allclose(dd[agree], dl[agree], rtol=2e-2, atol=5e-2)
+
+
+def test_dense_scan_after_dynamic_ops():
+    base, idx = _build(scan_mode="dense")
+    target = np.full(32, 0.321, np.float32)
+    idx.push(target)          # invalidates the decoded cache
+    new_id = len(idx) - 1
+    ids, _ = idx.search_padded(target[None], 5, w=8)
+    assert new_id in set(ids[0].tolist())
+    idx.delete([0])
+    ids, _ = idx.search_padded(target[None], 5, w=8)
+    assert (new_id - 1) in set(ids[0].tolist())
+
+
+def test_dense_rejects_cityblock():
+    with pytest.raises(ValueError):
+        _build(scan_mode="dense", quantization_metric="cityblock")
