@@ -370,7 +370,16 @@ class IVFADCIndex:
         """Delete by 0-based ids; surviving ids shift down to stay the
         contiguous range {0..n'-1} (reference delete_from_index!,
         /root/reference/src/utils.jl:90-105 — which takes 1-based positions)."""
-        self.store.delete_ids(np.asarray(list(ids), np.int64))
+        id_list = np.unique(np.asarray(list(ids), np.int64))
+        if id_list.size == 1:
+            # single delete: incremental swap-remove + shift keeps the device
+            # caches patched in place (no full re-upload/re-decode)
+            target = int(id_list[0])
+            cell, slot = self.store.find(target)
+            self.store.remove_slot(cell, slot)
+            self.store.shift_ids(target, -1)
+        else:
+            self.store.delete_ids(id_list)
 
     def reconstruct(self, ext_id: int) -> np.ndarray:
         """Decode the stored approximation of a point (non-destructive)."""

@@ -36,6 +36,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def jnp_where_shift(ids, threshold: int, delta: int):
+    import jax.numpy as jnp
+    return jnp.where(ids > threshold, ids + delta, ids)
+
+
 class PostingStore:
     def __init__(self, kc: int, m: int, code_dtype: np.dtype, *,
                  offsets: np.ndarray, caps: np.ndarray, sizes: np.ndarray,
@@ -105,6 +110,33 @@ class PostingStore:
         self._device = None
         self._device_dense = None
 
+    # Incremental device-cache maintenance: dynamic ops patch the cached
+    # device arrays in place (functional .at updates) instead of forcing a
+    # full re-upload / re-decode — O(1) device work per op, which is what
+    # makes interleaved push/delete/search workloads viable at scale.
+    def _dev_set_slot(self, slot: int, code_row, ext_id: int,
+                      cell: int) -> None:
+        if self._device is not None:
+            d = self._device
+            d["codes"] = d["codes"].at[slot].set(code_row)
+            d["ids"] = d["ids"].at[slot].set(int(ext_id))
+            d["sizes"] = d["sizes"].at[cell].set(int(self.sizes[cell]))
+        if self._device_dense is not None:
+            from ivfadc_tpu.ops import pq as pq_ops
+            dd = self._device_dense
+            if ext_id >= 0:
+                row = pq_ops.decode_rotated(
+                    self._dense_quantizer, np.asarray(code_row)[None, :])[0]
+                dd["decoded"] = dd["decoded"].at[slot].set(row)
+            dd["ids"] = dd["ids"].at[slot].set(int(ext_id))
+            dd["sizes"] = dd["sizes"].at[cell].set(int(self.sizes[cell]))
+
+    def _dev_shift_ids(self, threshold: int, delta: int) -> None:
+        for view in (self._device, self._device_dense):
+            if view is not None:
+                ids = view["ids"]
+                view["ids"] = jnp_where_shift(ids, threshold, delta)
+
     def append(self, cell: int, code_row: np.ndarray, ext_id: int) -> None:
         if self.sizes[cell] >= self.caps[cell]:
             self._grow_cell(cell)
@@ -112,7 +144,7 @@ class PostingStore:
         self.codes[slot] = code_row
         self.ids[slot] = ext_id
         self.sizes[cell] += 1
-        self._invalidate()
+        self._dev_set_slot(slot, code_row, ext_id, cell)
 
     def _grow_cell(self, cell: int) -> None:
         new_caps = self.caps.copy()
@@ -148,12 +180,16 @@ class PostingStore:
         codes by id, not by position, test/utils.jl:84-104.)"""
         last = int(self.offsets[cell] + self.sizes[cell] - 1)
         code = self.codes[slot].copy()
-        self.codes[slot] = self.codes[last]
-        self.ids[slot] = self.ids[last]
+        moved_code = self.codes[last].copy()
+        moved_id = int(self.ids[last])
+        self.codes[slot] = moved_code
+        self.ids[slot] = moved_id if slot != last else -1
         self.codes[last] = 0
         self.ids[last] = -1
         self.sizes[cell] -= 1
-        self._invalidate()
+        if slot != last:
+            self._dev_set_slot(slot, moved_code, moved_id, cell)
+        self._dev_set_slot(last, np.zeros(self.m, self.code_dtype), -1, cell)
         return code
 
     def shift_ids(self, threshold: int, delta: int) -> None:
@@ -162,7 +198,7 @@ class PostingStore:
         vectorized masked add instead of an O(n) dict rebuild."""
         mask = self.ids > threshold
         self.ids[mask] += delta
-        self._invalidate()
+        self._dev_shift_ids(threshold, delta)
 
     def delete_ids(self, ext_ids: np.ndarray) -> int:
         """Batch delete + positional re-numbering: every surviving id drops by
@@ -210,6 +246,7 @@ class PostingStore:
         residuals (rotated space, bf16) guard-padded past every cell so
         chunked DMA never reads out of bounds. Rebuilt lazily after any
         mutation (the PQ codes remain the source of truth)."""
+        self._dense_quantizer = quantizer
         if self._device_dense is None:
             import jax.numpy as jnp
             from ivfadc_tpu.ops import pq as pq_ops

@@ -160,3 +160,23 @@ def test_reconstruct(random_data):
     assert rec.shape == (NROWS,)
     # reconstruction = centroid + decoded residual: near the original
     assert np.abs(rec - random_data[42]).mean() < 0.5
+
+
+def test_incremental_device_cache_matches_cold_rebuild(random_data):
+    """After push/pop/delete, the incrementally-patched device caches must
+    produce identical results to a cold re-upload of the host state."""
+    idx = build_random_index(random_data)
+    rng = np.random.RandomState(9)
+    q = rng.rand(4, NROWS)
+    idx.search_padded(q, 5, w=6)          # warm both host + device cache
+    idx.push(rng.rand(NROWS))
+    idx.delete([7])
+    idx.pop()
+    idx.push_front(rng.rand(NROWS))
+    ids_patched, d_patched = idx.search_padded(q, 5, w=6)
+    # clone forces fresh device views from the same host arrays
+    from tests.conftest import _clone_index
+    cold = _clone_index(idx)
+    ids_cold, d_cold = cold.search_padded(q, 5, w=6)
+    np.testing.assert_array_equal(ids_patched, ids_cold)
+    np.testing.assert_allclose(d_patched, d_cold, rtol=1e-5)
