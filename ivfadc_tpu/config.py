@@ -93,6 +93,7 @@ class IVFADCConfig:
                                     # "auto": dense on TPU when the metric
                                     #   supports it, lut otherwise
     scan_chunk: int = 1024          # rows per DMA chunk in the dense kernel
+    scan_pb: int = 32               # probes per kernel tile (query grouping)
 
     def __post_init__(self):
         if self.quantization_method not in VALID_QUANTIZATION_METHODS:

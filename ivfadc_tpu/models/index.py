@@ -68,16 +68,16 @@ def _search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids, queries,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "w", "chunk", "metric", "include_base", "apply_rot",
-                     "residual_based", "interpret"))
+    static_argnames=("k", "w", "chunk", "pb", "metric", "include_base",
+                     "apply_rot", "residual_based", "interpret"))
 def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, queries,
-                       *, k: int, w: int, chunk: int, metric: Metric,
+                       *, k: int, w: int, chunk: int, pb: int, metric: Metric,
                        include_base: bool, apply_rot: bool,
                        residual_based: bool, interpret: bool):
-    """Pallas dense-scan search: coarse probe -> per-probe DMA'd matvec scan
-    with on-chip top-k -> global merge. Mathematically identical scores to
-    the LUT path (up to bf16 rounding): see ops/pallas_scan.py."""
-    from ivfadc_tpu.ops.pallas_scan import dense_scan
+    """Pallas dense-scan search: coarse probe -> cell-grouped DMA'd matmul
+    scan with on-chip top-k -> global merge. Mathematically identical scores
+    to the LUT path (up to bf16 rounding): see ops/pallas_scan.py."""
+    from ivfadc_tpu.ops.pallas_scan import grouped_dense_scan
 
     queries = queries.astype(jnp.float32)
     B = queries.shape[0]
@@ -97,12 +97,11 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, queries,
         v = jnp.broadcast_to(-q[:, None, :], (B, w, q.shape[-1]))
         base = jax.vmap(metric.pairwise)(queries[:, None, :], cent)[:, 0, :]
         norm_coef = 0.0
-    starts = offsets[cells]
-    szs = sizes[cells]
     k_out = min(k, 128)
-    out_d, out_p = dense_scan(starts, szs, v, base, decoded,
-                              k_out=k_out, chunk=chunk, norm_coef=norm_coef,
-                              interpret=interpret)
+    out_d, out_p = grouped_dense_scan(
+        cells, offsets, sizes, v, base, decoded, kc=offsets.shape[0],
+        k_out=k_out, chunk=chunk, norm_coef=norm_coef, pb=pb,
+        interpret=interpret)
     n_cand = out_d.shape[-1]
     flat_d = out_d.reshape(B, w * n_cand)
     flat_p = out_p.reshape(B, w * n_cand)
@@ -224,8 +223,14 @@ class IVFADCIndex:
         w = min(w, self.config.kc)                    # src/index.jl:216
         B = queries.shape[0]
         Bp = _bucket_batch(B)
-        q = jnp.asarray(
-            np.pad(np.asarray(queries, np.float32), ((0, Bp - B), (0, 0))))
+        if isinstance(queries, jax.Array) and Bp == B:
+            # fast path: device-resident batch of a bucket size — no host
+            # round trip (a stray np.asarray here would force a D2H transfer,
+            # which on some runtimes costs far more than the search itself)
+            q = queries
+        else:
+            q = jnp.asarray(
+                np.pad(np.asarray(queries, np.float32), ((0, Bp - B), (0, 0))))
         include_base = (self.config.score_mode == "reference"
                         or not self.quant_metric.residual_based)
         mode = self._resolve_scan_mode()
@@ -235,8 +240,8 @@ class IVFADCIndex:
             out_ids, out_dists = _dense_search_impl(
                 self.coarse, self.quantizer.rotation,
                 dev["offsets"], dev["sizes"], dev["decoded"], dev["ids"], q,
-                k=k, w=w, chunk=chunk, metric=self.quant_metric,
-                include_base=include_base,
+                k=k, w=w, chunk=chunk, pb=self.config.scan_pb,
+                metric=self.quant_metric, include_base=include_base,
                 apply_rot=self.quantizer.method == "opq",
                 residual_based=self.quant_metric.residual_based,
                 interpret=jax.default_backend() == "cpu")
@@ -249,6 +254,8 @@ class IVFADCIndex:
                 include_base=include_base,
                 apply_rot=self.quantizer.method == "opq",
                 residual_based=self.quant_metric.residual_based)
+        if Bp == B:
+            return out_ids, out_dists
         return out_ids[:B], out_dists[:B]
 
     def _resolve_scan_mode(self) -> str:

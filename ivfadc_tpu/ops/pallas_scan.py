@@ -128,6 +128,172 @@ def _scan_kernel(starts_ref, sizes_ref, base_ref,   # scalar prefetch (P,)
         jax.lax.fori_loop(0, nchunks, body, 0)
 
 
+def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
+                         v_ref, base_ref,           # (pb, d), (pb, 1) VMEM
+                         decoded_hbm,               # (cap_pad, d) bf16 HBM
+                         out_d_ref, out_p_ref,      # (pb, 128) VMEM blocks
+                         cbuf, csems,               # scratch
+                         *, chunk: int, k_out: int, norm_coef: float,
+                         pb: int):
+    """Query-grouped scan: the 8 rows of this grid step are (up to) 8 probes
+    of the SAME cell, so one DMA chunk feeds an (8, d) x (d, chunk) MXU
+    matmul and every merge reduction runs row-parallel across sublanes."""
+    t = pl.program_id(0)
+    start = pl.multiple_of(tstart_ref[t], 8)
+    size = tsize_ref[t]
+    nchunks = pl.cdiv(size, chunk)
+    d = v_ref.shape[-1]
+
+    out_d_ref[...] = jnp.full((pb, _CAND), jnp.inf, jnp.float32)
+    out_p_ref[...] = jnp.full((pb, _CAND), -1, jnp.int32)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (1, _CAND), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    ones = jnp.ones((1, d), jnp.bfloat16)
+    contract_last = (((1,), (1,)), ((), ()))
+
+    def dma(slot, ci):
+        return pltpu.make_async_copy(
+            decoded_hbm.at[pl.ds(start + ci * chunk, chunk), :],
+            cbuf.at[slot], csems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(ci, _):
+        slot = ci % 2
+
+        @pl.when(ci + 1 < nchunks)
+        def _():
+            dma((ci + 1) % 2, ci + 1).start()
+
+        dma(slot, ci).wait()
+        rows = cbuf[slot]                                       # (chunk, d)
+        scores = jax.lax.dot_general(
+            v_ref[...], rows, dimension_numbers=contract_last,
+            preferred_element_type=jnp.float32)                 # (pb, chunk)
+        if norm_coef != 0.0:
+            norms = jax.lax.dot_general(
+                ones, rows * rows, dimension_numbers=contract_last,
+                preferred_element_type=jnp.float32)             # (1, chunk)
+            scores = scores + norm_coef * norms
+        scores = scores + base_ref[...]                         # + (pb, 1)
+        valid = lane < (size - ci * chunk)
+        scores = jnp.where(valid, scores, jnp.inf)
+
+        def merge(_, sc):                                       # sc (pb, chunk)
+            cmin = jnp.min(sc, axis=1, keepdims=True)           # (pb, 1)
+            cpos = jnp.argmin(sc, axis=1).reshape(pb, 1).astype(jnp.int32)
+            run = out_d_ref[...]                                # (pb, 128)
+            rmax = jnp.max(run, axis=1, keepdims=True)
+            rpos = jnp.argmax(run, axis=1).reshape(pb, 1).astype(jnp.int32)
+            hit = (kiota == rpos) & (cmin < rmax)
+            out_d_ref[...] = jnp.where(hit, cmin, run)
+            out_p_ref[...] = jnp.where(hit, start + ci * chunk + cpos,
+                                       out_p_ref[...])
+            return jnp.where(lane == cpos, jnp.inf, sc)
+
+        jax.lax.fori_loop(0, k_out, merge, scores)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kc", "k_out", "chunk", "norm_coef", "pb", "interpret"))
+def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, *, kc: int,
+                       k_out: int, chunk: int, norm_coef: float = 1.0,
+                       pb: int = 16, interpret: bool = False):
+    """Cell-major grouped scan. Groups the B*w probes by probed cell into
+    tiles of 8, so each cell's postings are DMA'd once per tile (up to 8x
+    less HBM traffic) and the MXU runs real (8, d) matmuls.
+
+    cells (B, w) i32; offsets/sizes (kc,) i32; v (B, w, d); base (B, w) f32;
+    decoded (cap_pad, d) bf16.
+    Returns (cand_d (B, w, 128) f32, cand_p (B, w, 128) i32) in the original
+    probe order — same contract as `dense_scan`.
+    """
+    B, w, d = v.shape
+    P = B * w
+    T_max = P // pb + min(kc, P) + 1
+
+    cells_flat = cells.reshape(-1).astype(jnp.int32)
+    order = jnp.argsort(cells_flat, stable=True).astype(jnp.int32)
+    sorted_cells = cells_flat[order]
+    crange = jnp.arange(kc, dtype=jnp.int32)
+    cell_first = jnp.searchsorted(sorted_cells, crange).astype(jnp.int32)
+    cell_last = jnp.searchsorted(sorted_cells, crange,
+                                 side="right").astype(jnp.int32)
+    counts = cell_last - cell_first                       # probes per cell
+    nt = (counts + pb - 1) // pb                          # tiles per cell
+    tile_base = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                 jnp.cumsum(nt)[:-1].astype(jnp.int32)])
+    total_tiles = jnp.sum(nt)
+
+    trange = jnp.arange(T_max, dtype=jnp.int32)
+    c_t = jnp.clip(jnp.searchsorted(tile_base, trange, side="right") - 1,
+                   0, kc - 1).astype(jnp.int32)
+    j_t = trange - tile_base[c_t]
+    tile_valid = trange < total_tiles
+    tile_sorted_start = cell_first[c_t] + j_t * pb
+    tile_count = jnp.where(tile_valid,
+                           jnp.clip(counts[c_t] - j_t * pb, 0, pb), 0)
+    tile_start = jnp.where(tile_valid, offsets[c_t], 0).astype(jnp.int32)
+    tile_size = jnp.where(tile_valid, sizes[c_t], 0).astype(jnp.int32)
+
+    # slot-level: sorted position of each (tile, slot) entry
+    srange = jnp.arange(pb, dtype=jnp.int32)
+    sp = tile_sorted_start[:, None] + srange[None, :]           # (T, 8)
+    slot_valid = srange[None, :] < tile_count[:, None]
+    probe_idx = order[jnp.clip(sp, 0, P - 1)]                   # (T, 8)
+    v_tiles = v.reshape(P, d)[probe_idx].reshape(T_max * pb, d)
+    base_tiles = jnp.where(slot_valid, base.reshape(-1)[probe_idx],
+                           jnp.inf).reshape(T_max * pb, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T_max,),
+        in_specs=[
+            pl.BlockSpec((pb, d), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pb, 1), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((pb, _CAND), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pb, _CAND), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, d), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_grouped_scan_kernel, chunk=chunk, k_out=k_out,
+                               norm_coef=norm_coef, pb=pb)
+    out_d, out_p = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T_max * pb, _CAND), jnp.float32),
+            jax.ShapeDtypeStruct((T_max * pb, _CAND), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tile_start, tile_size,
+      v_tiles.astype(jnp.bfloat16), base_tiles, decoded)
+
+    # map output rows back to original probe order: probe i sits at sorted
+    # position inv[i]; its tile/slot give its output row
+    inv = jnp.argsort(order, stable=True).astype(jnp.int32)    # (P,)
+    rank = inv - cell_first[cells_flat]
+    row = (tile_base[cells_flat] + rank // pb) * pb + rank % pb
+    return (out_d[row].reshape(B, w, _CAND),
+            out_p[row].reshape(B, w, _CAND))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k_out", "chunk", "norm_coef", "interpret"))
