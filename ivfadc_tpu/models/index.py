@@ -340,6 +340,31 @@ class IVFADCIndex:
         cell, codes = self._encode_point(np.asarray(point, np.float32))
         self.store.append(cell, codes, len(self))
 
+    def push_batch(self, points) -> None:
+        """Append many points at once (ids n..n+B-1, equivalent to B pushes).
+
+        TPU-native addition (the reference only has scalar push!): one batched
+        coarse probe + one batched PQ encode, then host-side appends.
+        """
+        points = np.asarray(points, np.float32)
+        if points.ndim != 2 or points.shape[1] != self.dim:
+            raise AssertionError(
+                f"push_batch expects (B, {self.dim}) points, got {points.shape}")
+        bits = DTYPE_TO_BITS[self.config.index_dtype]
+        if len(self) + len(points) > (1 << bits):
+            raise AssertionError(
+                f"Index would exceed capacity for dtype "
+                f"{self.config.index_dtype} ({1 << bits} vectors)")
+        q = jnp.asarray(points)
+        cells, _ = self.coarse.search(q, 1)
+        cells = np.asarray(cells)[:, 0]
+        residuals = q - self.coarse.centroids[jnp.asarray(cells)]
+        codes = np.asarray(pq_ops.encode(self.quantizer, residuals,
+                                         metric=self.quant_metric))
+        n = len(self)
+        for i in range(len(points)):
+            self.store.append(int(cells[i]), codes[i], n + i)
+
     def push_front(self, point) -> None:
         """Insert with id = 0, shifting every live id up by one
         (reference pushfirst!, /root/reference/src/utils.jl:123,140-141)."""

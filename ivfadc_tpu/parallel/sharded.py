@@ -29,6 +29,7 @@ from jax import shard_map
 from ivfadc_tpu.models.index import IVFADCIndex, _bucket_batch
 from ivfadc_tpu.ops.adc import build_adc_tables, scan_postings
 from ivfadc_tpu.ops.metrics import Metric
+from ivfadc_tpu.ops.pallas_scan import grouped_dense_scan
 from ivfadc_tpu.parallel.mesh import DATA_AXIS, SHARD_AXIS, make_mesh
 
 _LANE = 128
@@ -75,14 +76,18 @@ def partition_store(store, n_shards: int):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "k", "w", "window", "metric", "include_base",
-                     "apply_rot", "residual_based"))
+                     "apply_rot", "residual_based", "dense", "chunk", "pb",
+                     "interpret"))
 def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                          queries, *, mesh, k: int, w: int, window: int,
                          metric: Metric, include_base: bool, apply_rot: bool,
-                         residual_based: bool):
+                         residual_based: bool, dense: bool = False,
+                         chunk: int = 1024, pb: int = 32,
+                         interpret: bool = False):
     """Queries (B, d) replicated over shard / sharded over data; per-shard CSR
-    arrays stacked on a leading shard axis. Returns replicated-over-shard
-    (B, k) global ids + dists."""
+    arrays stacked on a leading shard axis. `codes` is the flat PQ-code array
+    in LUT mode or the decoded bf16 residual array in dense mode. Returns
+    replicated-over-shard (B, k) global ids + dists."""
 
     def local_search(cq_l, cb_l, rot_l, off_l, siz_l, cod_l, ids_l, q_l):
         # strip the leading per-shard axis added by shard_map
@@ -99,9 +104,41 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
             base = jax.vmap(metric.pairwise)(q_l[:, None, :], cent)[:, 0, :]
         if apply_rot:
             vecs = vecs @ rot_l
-        tables = build_adc_tables(metric, vecs, codebooks=cb_l)
-        loc_ids, loc_d = scan_postings(tables, base, cells, off_l, siz_l,
-                                       cod_l, ids_l, k=k, window=window)
+        if dense:
+            # Pallas grouped scan per shard (the TPU fast path)
+            B_l = q_l.shape[0]
+            if residual_based:
+                vden = -2.0 * vecs
+                base_d = jnp.sum(vecs * vecs, axis=-1) + (
+                    cdists if include_base else 0.0)
+                norm_coef = 1.0
+            else:
+                vden = -vecs
+                base_d = base
+                norm_coef = 0.0
+            out_d, out_p = grouped_dense_scan(
+                cells, off_l, siz_l, vden, base_d, cod_l,
+                kc=off_l.shape[0], k_out=min(k, 128), chunk=chunk,
+                norm_coef=norm_coef, pb=pb, interpret=interpret)
+            n_cand = out_d.shape[-1]
+            flat_d = out_d.reshape(B_l, w * n_cand)
+            flat_p = out_p.reshape(B_l, w * n_cand)
+            neg, which = jax.lax.top_k(-flat_d, min(k, w * n_cand))
+            pos = jnp.take_along_axis(flat_p, which, axis=1)
+            loc_ids = jnp.where(pos >= 0,
+                                ids_l[jnp.where(pos >= 0, pos, 0)], -1)
+            loc_d = -neg
+            loc_ids = jnp.where(jnp.isfinite(loc_d), loc_ids, -1)
+            if loc_d.shape[1] < k:
+                padk = k - loc_d.shape[1]
+                loc_ids = jnp.pad(loc_ids, ((0, 0), (0, padk)),
+                                  constant_values=-1)
+                loc_d = jnp.pad(loc_d, ((0, 0), (0, padk)),
+                                constant_values=jnp.inf)
+        else:
+            tables = build_adc_tables(metric, vecs, codebooks=cb_l)
+            loc_ids, loc_d = scan_postings(tables, base, cells, off_l, siz_l,
+                                           cod_l, ids_l, k=k, window=window)
         # Cross-shard exact top-k merge: gather every shard's k candidates,
         # re-rank. (k*S, B) stays tiny; rides ICI on a real slice.
         all_ids = jax.lax.all_gather(loc_ids, SHARD_AXIS)   # (S, Bl, k)
@@ -138,8 +175,23 @@ class ShardedIVFADCIndex:
         self.index = index
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_shards = self.mesh.shape[SHARD_AXIS]
+        self.scan_mode = index._resolve_scan_mode()
         parts = partition_store(index.store, self.n_shards)
         self.window = parts.pop("window")
+        if self.scan_mode == "dense":
+            # per-shard decoded residual caches (rotated space, bf16),
+            # guard-padded for the kernel's chunked DMA
+            from ivfadc_tpu.ops import pq as pq_ops
+            chunk = index.config.scan_chunk
+            S, cap, _ = parts["codes"].shape
+            dec = []
+            for s_ in range(S):
+                d_ = pq_ops.decode_rotated(index.quantizer,
+                                           parts["codes"][s_])
+                dec.append(jnp.pad(d_, ((0, chunk + 128), (0, 0))))
+            parts["codes"] = jnp.stack(dec)
+            parts["ids"] = np.pad(parts["ids"], ((0, 0), (0, chunk + 128)),
+                                  constant_values=-1)
         shard_sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
         self.arrays = {
             name: jax.device_put(arr, shard_sharding)
@@ -177,5 +229,8 @@ class ShardedIVFADCIndex:
             mesh=self.mesh, k=k, w=w, window=self.window,
             metric=self.index.quant_metric, include_base=include_base,
             apply_rot=self.index.quantizer.method == "opq",
-            residual_based=self.index.quant_metric.residual_based)
+            residual_based=self.index.quant_metric.residual_based,
+            dense=self.scan_mode == "dense",
+            chunk=cfg.scan_chunk, pb=cfg.scan_pb,
+            interpret=jax.default_backend() == "cpu")
         return np.asarray(ids)[:B], np.asarray(dists)[:B]

@@ -101,3 +101,20 @@ def test_distributed_train_step_runs_and_is_exact():
             np.testing.assert_allclose(np.asarray(new_centers)[j],
                                        x[a == j].mean(0), rtol=1e-4)
     assert np.asarray(codes).shape == (256, 2)
+
+
+def test_sharded_dense_scan_matches_single_chip(base_index):
+    # force the Pallas dense path inside shard_map (interpret mode on CPU)
+    base, _ = base_index
+    idx = IVFADCIndex.build(base, kc=16, k=32, m=4, seed=0,
+                            scan_mode="dense")
+    mesh = make_mesh(n_shards=4, n_data=2)
+    sidx = ShardedIVFADCIndex(idx, mesh)
+    assert sidx.scan_mode == "dense"
+    q = base[:16]
+    ids_s, d_s = sidx.search_padded(q, 10, w=4)
+    ids_1, d_1 = idx.search_padded(q, 10, w=4)
+    same = [set(a[a >= 0]) == set(b[b >= 0]) for a, b in zip(ids_s, ids_1)]
+    assert np.mean(same) == 1.0
+    np.testing.assert_allclose(np.sort(d_s, 1), np.sort(d_1, 1),
+                               rtol=2e-2, atol=1e-2)
