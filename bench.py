@@ -10,8 +10,13 @@ reference publishes no numbers and Julia isn't installed (BASELINE.md).
 
 Config (BASELINE.json): 128-dim x 1M base, kc=1024, m=8, k=256, nprobe=8.
 Uses real SIFT1M if IVFADC_DATA_DIR points at TEXMEX files, else clustered
-synthetic data of the same shape. Override sizes with IVFADC_BENCH_N /
-IVFADC_BENCH_NQ / IVFADC_BENCH_BATCH for quick runs.
+synthetic data of the same shape generated ON DEVICE (host->device moves
+~10 MB/s on tunneled runtimes, so the 512 MB upload would dominate).
+Override sizes with IVFADC_BENCH_N / IVFADC_BENCH_NQ / IVFADC_BENCH_BATCH.
+
+Timing methodology: tunneled runtimes make `block_until_ready` an unreliable
+completion barrier, so throughput runs fold a scalar data-dependence over
+every batch output and fetch it once (ivfadc_tpu.utils.timing).
 """
 
 from __future__ import annotations
@@ -24,6 +29,10 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".cache", "jax_compile"))
 
 
 def main():
@@ -42,53 +51,58 @@ def main():
     n_oracle = min(nq, 200)       # queries used for oracle QPS baseline
 
     from ivfadc_tpu import IVFADCIndex
-    from ivfadc_tpu.utils.datasets import load_or_synthesize, synthetic_clustered
+    from ivfadc_tpu.utils.datasets import (load_or_synthesize,
+                                           synthetic_clustered_device)
     from ivfadc_tpu.utils.evaluation import brute_force_topk, recall_at_r
+    from ivfadc_tpu.utils.timing import roundtrip_latency, true_time
     from benchmarks.oracle import ReferenceOracle
 
     t_all = time.time()
-    base = load_or_synthesize("sift_base", n, d, seed=0)
-    queries = synthetic_clustered(nq, d, seed=1) if base is None else None
-    # queries: perturbed base points (guaranteed near-neighbor structure)
-    rng = np.random.RandomState(1)
-    qidx = rng.choice(len(base), nq, replace=True)
-    queries = base[qidx] + 0.05 * rng.randn(nq, d).astype(np.float32)
+    data_dir = os.environ.get("IVFADC_DATA_DIR", "")
+    if data_dir:
+        base = load_or_synthesize("sift_base", n, d, seed=0)
+        based = jnp.asarray(base, jnp.float32)
+    else:
+        based = synthetic_clustered_device(n, d, seed=0)   # device-resident
+
+    # queries: perturbed base points (guaranteed near-neighbor structure),
+    # derived on device; only the small query set crosses to host (oracle).
+    key = jax.random.PRNGKey(1)
+    kq_, kn_ = jax.random.split(key)
+    qidx = jax.random.randint(kq_, (nq,), 0, n)
+    qdev = based[qidx] + 0.05 * jax.random.normal(kn_, (nq, d), jnp.float32)
+    queries = np.asarray(qdev)
 
     t0 = time.time()
     index = IVFADCIndex.build(
-        base, kc=kc, k=kq, m=m, seed=0,
-        kmeanspp_sample=min(len(base), 65536))
+        based, kc=kc, k=kq, m=m, seed=0,
+        kmeanspp_sample=min(n, 65536))
     build_s = time.time() - t0
 
-    # --- ground truth + recall ---
-    gt_d, gt_i = brute_force_topk(base, queries[:n_gt], topk)
+    # --- ground truth + recall (both computed on device, tiny D2H) ---
+    gt_d, gt_i = brute_force_topk(based, qdev[:n_gt], topk)
     ids, _ = index.search_padded(queries[:n_gt], topk, w=nprobe)
     recall = recall_at_r(ids, gt_i, topk)
 
-    # --- QPS: steady-state on-chip throughput (pipelined dispatch, as a
-    # serving system would run — one block per wave, not per batch) ---
-    qdev = jnp.asarray(queries)
-    nq_pad = (nq // batch) * batch
-    def run_all():
-        outs = []
-        for s in range(0, nq_pad, batch):
-            outs.append(index._device_search(qdev[s:s + batch], topk, nprobe))
-        jax.block_until_ready(outs)
+    # --- QPS: steady-state on-chip throughput (pipelined dispatch, honest
+    # completion via scalar fetch) ---
+    nbatches = max(1, min(nq, 8192) // batch)
+
+    def run_wave():
+        outs = [index._device_search(qdev[s * batch:(s + 1) * batch],
+                                     topk, nprobe)
+                for s in range(nbatches)]
         return outs
-    run_all()                      # warm (compile)
-    reps = 5 if on_accel else 1
-    t0 = time.time()
-    for _ in range(reps):
-        run_all()
-    qps = reps * nq_pad / (time.time() - t0)
-    # latency: single blocking batch (includes host sync overhead)
-    lat = []
-    for _ in range(5):
-        tb = time.time()
-        jax.block_until_ready(
-            index._device_search(qdev[:batch], topk, nprobe))
-        lat.append(time.time() - tb)
-    p50_batch_ms = float(np.percentile(lat, 50) * 1e3)
+
+    base_lat = roundtrip_latency()
+    reps = 10 if on_accel else 2
+    t_wave = true_time(run_wave, reps=reps, warm=2, baseline=base_lat)
+    qps = nbatches * batch / t_wave
+    # latency: single batch, amortized roundtrip subtracted
+    t_lat = true_time(
+        lambda: index._device_search(qdev[:batch], topk, nprobe),
+        reps=reps, warm=1, baseline=base_lat)
+    p50_batch_ms = t_lat * 1e3
 
     # --- oracle baseline (reference algorithm, single core, this host) ---
     oracle = ReferenceOracle.from_index(index)

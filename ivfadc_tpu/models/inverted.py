@@ -125,8 +125,12 @@ class PostingStore:
             from ivfadc_tpu.ops import pq as pq_ops
             dd = self._device_dense
             if ext_id >= 0:
+                import jax.numpy as jnp
                 row = pq_ops.decode_rotated(
                     self._dense_quantizer, np.asarray(code_row)[None, :])[0]
+                d_pad = dd["decoded"].shape[1] - row.shape[0]
+                if d_pad:
+                    row = jnp.pad(row, (0, d_pad))
                 dd["decoded"] = dd["decoded"].at[slot].set(row)
             dd["ids"] = dd["ids"].at[slot].set(int(ext_id))
             dd["sizes"] = dd["sizes"].at[cell].set(int(self.sizes[cell]))
@@ -244,8 +248,10 @@ class PostingStore:
     def device_view_dense(self, quantizer, chunk: int) -> Dict:
         """Cached arrays for the Pallas dense-scan path: resident decoded
         residuals (rotated space, bf16) guard-padded past every cell so
-        chunked DMA never reads out of bounds. Rebuilt lazily after any
-        mutation (the PQ codes remain the source of truth)."""
+        chunked DMA never reads out of bounds, and zero-padded on the feature
+        dim to a 128-lane multiple (Mosaic HBM slices must be lane-aligned;
+        zero features change neither dot products nor norms). Rebuilt lazily
+        after any mutation (the PQ codes remain the source of truth)."""
         self._dense_quantizer = quantizer
         if self._device_dense is None:
             import jax.numpy as jnp
@@ -253,7 +259,8 @@ class PostingStore:
             total = self.codes.shape[0]
             decoded = pq_ops.decode_rotated(quantizer, self.codes)
             guard = chunk + _LANE
-            decoded = jnp.pad(decoded, ((0, guard), (0, 0)))
+            d_pad = _round_up(decoded.shape[1], _LANE) - decoded.shape[1]
+            decoded = jnp.pad(decoded, ((0, guard), (0, d_pad)))
             self._device_dense = dict(
                 offsets=jnp.asarray(self.offsets, jnp.int32),
                 sizes=jnp.asarray(self.sizes, jnp.int32),

@@ -77,12 +77,13 @@ def partition_store(store, n_shards: int):
     jax.jit,
     static_argnames=("mesh", "k", "w", "window", "metric", "include_base",
                      "apply_rot", "residual_based", "dense", "chunk", "pb",
-                     "interpret"))
+                     "merge", "nf", "interpret"))
 def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                          queries, *, mesh, k: int, w: int, window: int,
                          metric: Metric, include_base: bool, apply_rot: bool,
                          residual_based: bool, dense: bool = False,
                          chunk: int = 1024, pb: int = 32,
+                         merge: str = "exact", nf: int = 128,
                          interpret: bool = False):
     """Queries (B, d) replicated over shard / sharded over data; per-shard CSR
     arrays stacked on a leading shard axis. `codes` is the flat PQ-code array
@@ -119,7 +120,8 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
             out_d, out_p = grouped_dense_scan(
                 cells, off_l, siz_l, vden, base_d, cod_l,
                 kc=off_l.shape[0], k_out=min(k, 128), chunk=chunk,
-                norm_coef=norm_coef, pb=pb, interpret=interpret)
+                norm_coef=norm_coef, pb=pb, merge=merge,
+                nf=nf if merge == "fold" else 128, interpret=interpret)
             n_cand = out_d.shape[-1]
             flat_d = out_d.reshape(B_l, w * n_cand)
             flat_p = out_p.reshape(B_l, w * n_cand)
@@ -188,7 +190,8 @@ class ShardedIVFADCIndex:
             for s_ in range(S):
                 d_ = pq_ops.decode_rotated(index.quantizer,
                                            parts["codes"][s_])
-                dec.append(jnp.pad(d_, ((0, chunk + 128), (0, 0))))
+                d_pad = _round_up(d_.shape[1], _LANE) - d_.shape[1]
+                dec.append(jnp.pad(d_, ((0, chunk + 128), (0, d_pad))))
             parts["codes"] = jnp.stack(dec)
             parts["ids"] = np.pad(parts["ids"], ((0, 0), (0, chunk + 128)),
                                   constant_values=-1)
@@ -232,5 +235,7 @@ class ShardedIVFADCIndex:
             residual_based=self.index.quant_metric.residual_based,
             dense=self.scan_mode == "dense",
             chunk=cfg.scan_chunk, pb=cfg.scan_pb,
+            merge=self.index._resolve_merge_mode(),
+            nf=cfg.scan_fold_lanes,
             interpret=jax.default_backend() == "cpu")
         return np.asarray(ids)[:B], np.asarray(dists)[:B]

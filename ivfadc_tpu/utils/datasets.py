@@ -64,6 +64,27 @@ def synthetic_clustered(n: int, d: int, n_clusters: int = 256,
     return out
 
 
+def synthetic_clustered_device(n: int, d: int, n_clusters: int = 256,
+                               noise: float = 0.15, seed: int = 0):
+    """`synthetic_clustered` generated directly on the default device with
+    jax.random — same mixture family (centers + Gaussian noise), no H2D
+    transfer (tunneled runtimes move hostside data at ~10 MB/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    kc_, kw, kn = jax.random.split(key, 3)
+
+    @jax.jit
+    def gen(kc_, kw, kn):
+        centers = jax.random.normal(kc_, (n_clusters, d), jnp.float32)
+        which = jax.random.randint(kw, (n,), 0, n_clusters)
+        return centers[which] + noise * jax.random.normal(kn, (n, d),
+                                                          jnp.float32)
+
+    return gen(kc_, kw, kn)
+
+
 def load_or_synthesize(name: str, n: int, d: int, seed: int = 0,
                        data_dir: Optional[str] = None) -> np.ndarray:
     """Load a real TEXMEX base file if IVFADC_DATA_DIR provides one, else

@@ -17,20 +17,22 @@ import numpy as np
 @functools.partial(jax.jit, static_argnames=("k",))
 def _topk_block(queries, base_block, running_d, running_i, base_offset, k):
     """Merge the exact top-k of one base block into the running top-k."""
+    from ivfadc_tpu.ops.topk import topk_lastdim
     qn = jnp.sum(queries * queries, axis=1, keepdims=True)
     bn = jnp.sum(base_block * base_block, axis=1)
     d = qn + bn[None, :] - 2.0 * jnp.dot(queries, base_block.T,
                                          preferred_element_type=jnp.float32)
-    neg, idx = jax.lax.top_k(-d, min(k, base_block.shape[0]))
-    cand_d = jnp.concatenate([running_d, -neg], axis=1)
+    bd, idx = topk_lastdim(d, min(k, base_block.shape[0]))
+    cand_d = jnp.concatenate([running_d, bd], axis=1)
     cand_i = jnp.concatenate([running_i, idx + base_offset], axis=1)
-    neg2, which = jax.lax.top_k(-cand_d, k)
-    return -neg2, jnp.take_along_axis(cand_i, which, axis=1)
+    md, which = topk_lastdim(cand_d, k)
+    return md, jnp.take_along_axis(cand_i, which, axis=1)
 
 
-def brute_force_topk(base: np.ndarray, queries: np.ndarray, k: int,
-                     block: int = 131072):
-    """Exact squared-euclidean top-k neighbors. Returns (dists, ids) np arrays."""
+def brute_force_topk(base, queries, k: int, block: int = 8192):
+    """Exact squared-euclidean top-k neighbors. Returns (dists, ids) np
+    arrays. `base` may be a host np array or a device-resident jax array
+    (blocks then slice on-device — no H2D)."""
     queries = jnp.asarray(queries, jnp.float32)
     nq = queries.shape[0]
     run_d = jnp.full((nq, k), jnp.inf, jnp.float32)

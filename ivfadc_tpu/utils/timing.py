@@ -1,0 +1,64 @@
+"""Honest device timing under high-latency runtimes.
+
+Some JAX runtimes (e.g. tunneled remote devices) make `block_until_ready`
+an unreliable completion barrier and add tens of ms of RPC round-trip
+latency. `true_time` therefore:
+  * runs `reps` pipelined calls,
+  * folds a scalar data-dependence over every output (a jitted `acc + sum`),
+  * fetches the final scalar — the fetch cannot complete before every rep's
+    compute has, so wall-clock covers real execution;
+  * subtracts the measured fixed round-trip cost (an empty chain).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def _fold(acc, leaf_sum):
+    return acc + leaf_sum
+
+
+@jax.jit
+def _leaf_sum(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    tot = jnp.float32(0)
+    for leaf in leaves:
+        # cheap data dependence: one element is enough to chain completion
+        # of the whole buffer under a single-stream execution model
+        tot = tot + jax.lax.convert_element_type(leaf.ravel()[-1], jnp.float32)
+    return tot
+
+
+def roundtrip_latency(samples: int = 3) -> float:
+    acc = jnp.float32(0)
+    float(_fold(acc, jnp.float32(1)))
+    t0 = time.perf_counter()
+    for _ in range(samples):
+        float(_fold(acc, jnp.float32(1)))
+    return (time.perf_counter() - t0) / samples
+
+
+def true_time(fn: Callable, reps: int = 20, warm: int = 2,
+              baseline: float = None) -> float:
+    """Mean per-call wall time of `fn` (a nullary returning a pytree of
+    arrays), amortizing RPC latency across `reps` pipelined calls."""
+    if baseline is None:
+        baseline = roundtrip_latency()
+    for _ in range(warm):
+        out = fn()
+    acc = jnp.float32(0)
+    acc = _fold(acc, _leaf_sum(out))
+    float(acc)
+    t0 = time.perf_counter()
+    acc = jnp.float32(0)
+    for _ in range(reps):
+        acc = _fold(acc, _leaf_sum(fn()))
+    float(acc)
+    dt = time.perf_counter() - t0
+    return max(0.0, (dt - baseline)) / reps
