@@ -93,7 +93,9 @@ class IVFADCConfig:
                                     # "auto": dense on TPU when the metric
                                     #   supports it, lut otherwise
     scan_chunk: int = 1024          # rows per DMA chunk in the dense kernel
-    scan_pb: int = 32               # probes per kernel tile (query grouping)
+    scan_pb: int = 64               # probes per kernel tile (query grouping);
+                                    # best measured on v5e at SIFT1M shape
+                                    # (benchmarks/sweep_kernel.py)
     scan_fold_lanes: int = 128      # fold-merge candidate-buffer width per
                                     # probe (128-multiple dividing scan_chunk);
                                     # wider cuts fold collisions but costs

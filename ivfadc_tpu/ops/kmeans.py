@@ -120,14 +120,22 @@ def _kmeans_impl(key, x, k: int, maxiter: int, block: int, metric: Metric,
                                                  centers, metric)
         new_centers = sums / jnp.maximum(counts[:, None], 1.0)
         empty = counts < 0.5
-        # Re-seed empty clusters at the k farthest points (static top-k shape).
-        far_idx = jax.lax.top_k(mindists.reshape(-1), k)[1]
+        # Re-seed empty clusters at far-away points. A global top-k over all
+        # n mindists would be an n-wide sort each iteration (dominates both
+        # compile and run time at n~1e6); instead take each block's farthest
+        # point — nb candidates, ranked by a tiny nb-wide sort. Rarely are
+        # there more empties than blocks; if so, candidates are reused.
+        bfar = jnp.max(mindists, axis=1)                      # (nb,)
+        barg = jnp.argmax(mindists, axis=1).astype(jnp.int32)  # (nb,)
+        nb = bfar.shape[0]
+        order = jnp.argsort(-bfar)                            # farthest first
+        cand_idx = barg[order] + order.astype(jnp.int32) * mindists.shape[1]
         slot = jnp.cumsum(empty.astype(jnp.int32)) - 1     # rank among empties
-        reseed = flat_x[far_idx[jnp.clip(slot, 0, k - 1)]]
+        reseed = flat_x[cand_idx[jnp.clip(slot, 0, nb - 1)]]
         new_centers = jnp.where(empty[:, None], reseed, new_centers)
         # Keep the old center when a cluster is empty AND there is no mass to
         # re-seed from (degenerate tiny inputs).
-        any_mass = jnp.isfinite(jnp.max(mindists))
+        any_mass = jnp.isfinite(jnp.max(bfar))
         return jnp.where(any_mass | ~empty[:, None], new_centers, centers)
 
     centers = jax.lax.fori_loop(0, maxiter, iteration, init_centers)

@@ -288,10 +288,13 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, *, kc: int,
 
     # slot-level: sorted position of each (tile, slot) entry
     srange = jnp.arange(pb, dtype=jnp.int32)
-    sp = tile_sorted_start[:, None] + srange[None, :]           # (T, 8)
+    sp = tile_sorted_start[:, None] + srange[None, :]           # (T, pb)
     slot_valid = srange[None, :] < tile_count[:, None]
-    probe_idx = order[jnp.clip(sp, 0, P - 1)]                   # (T, 8)
-    v_tiles = v.reshape(P, d)[probe_idx].reshape(T_max * pb, d)
+    probe_idx = order[jnp.clip(sp, 0, P - 1)]                   # (T, pb)
+    # cast BEFORE the tile gather: halves the (T_max*pb, d) scatter/gather
+    # traffic, and the kernel consumes bf16 anyway
+    v_tiles = v.reshape(P, d).astype(jnp.bfloat16)[probe_idx] \
+        .reshape(T_max * pb, d)
     base_tiles = jnp.where(slot_valid, base.reshape(-1)[probe_idx],
                            jnp.inf).reshape(T_max * pb, 1)
 
@@ -326,12 +329,13 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, *, kc: int,
             jax.ShapeDtypeStruct((T_max * pb, nf), jnp.int32),
         ],
         interpret=interpret,
-    )(tile_start, tile_size,
-      v_tiles.astype(jnp.bfloat16), base_tiles, decoded)
+    )(tile_start, tile_size, v_tiles, base_tiles, decoded)
 
     # map output rows back to original probe order: probe i sits at sorted
-    # position inv[i]; its tile/slot give its output row
-    inv = jnp.argsort(order, stable=True).astype(jnp.int32)    # (P,)
+    # position inv[i]; its tile/slot give its output row. (Scatter, not a
+    # second argsort — inverting a permutation is one store per element.)
+    inv = jnp.zeros(P, jnp.int32).at[order].set(
+        jnp.arange(P, dtype=jnp.int32), unique_indices=True)
     rank = inv - cell_first[cells_flat]
     row = (tile_base[cells_flat] + rank // pb) * pb + rank % pb
     return (out_d[row].reshape(B, w, nf),

@@ -65,3 +65,27 @@ class SearchStats:
     @property
     def qps(self) -> float:
         return self.queries / self.seconds if self.seconds else 0.0
+
+
+def probe_stats(index, queries, w: int) -> Dict[str, float]:
+    """Per-query work counters for a probe width (SURVEY §5 observability:
+    nprobe, scanned postings/query): how many postings the scan kernel
+    touches, the padding overhead the CSR slack adds, and the selectivity
+    vs a full-database scan."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    q = jnp.asarray(np.asarray(queries, np.float32))
+    w_eff = min(w, index.config.kc)
+    cells, _ = index.coarse.search(q, w_eff)
+    cells_h = np.asarray(cells)
+    sizes = np.asarray(index.store.sizes)[cells_h]          # (B, w)
+    caps = np.asarray(index.store.caps)[cells_h]
+    n = max(1, len(index))
+    return {
+        "nprobe": float(w_eff),
+        "scanned_postings_per_query": float(sizes.sum(1).mean()),
+        "scanned_slots_per_query": float(caps.sum(1).mean()),
+        "scan_selectivity": float(sizes.sum(1).mean() / n),
+        "max_cell_in_probe": float(sizes.max(initial=0)),
+    }
