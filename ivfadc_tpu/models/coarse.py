@@ -71,15 +71,58 @@ class TwoLevelCoarseQuantizer:
     """Two-level coarse scan standing in for the reference's :hnsw option
     (/root/reference/src/coarsequantizers.jl:58-93): same role (sublinear
     coarse search over many centroids), TPU-native mechanics (two stacked
-    matmul+top_k stages instead of graph traversal)."""
+    scans instead of graph traversal). Like HNSW it is approximate: the
+    probed cells are the best within the gp nearest groups.
+
+    Two stage-2 engines, picked by kc:
+      * small kc (<= _GATHER_MAX): gather the candidate centroid vectors and
+        score them exactly in f32 — cheap when gp*gmax is modest;
+      * large kc (Deep1B-style 2^18): the gather would materialize a
+        (B, gp*gmax, d) tensor (GBs); instead the group-major centroid table
+        is scanned by the same grouped Pallas kernel as the posting scan
+        (groups play "cells", centroids play "postings", bf16 scores).
+    """
 
     centroids: jax.Array        # (kc, d) float32 — the actual cells
     group_centers: jax.Array    # (g, d) float32
     members: jax.Array          # (g, gmax) int32, padded with -1
+    csr_offsets: jax.Array      # (g,) int32 — 8-aligned slot starts
+    csr_sizes: jax.Array        # (g,) int32 — live centroids per group
+    perm: jax.Array             # (slots_pad,) int32 slot -> centroid id, -1 pad
+    cent_scan: jax.Array        # (slots_pad, d_pad) bf16 group-major centroids
     metric: Metric              # static
     n_probe_groups: int         # static
 
     kind = "two_level"
+    _GATHER_MAX = 4096
+
+    @classmethod
+    def create(cls, centroids, group_centers, members, metric,
+               n_probe_groups: int) -> "TwoLevelCoarseQuantizer":
+        """Build the derived CSR/scan arrays from (centroids, members) —
+        the only arrays persisted (utils/persistence.py)."""
+        centroids = jnp.asarray(centroids, jnp.float32)
+        members_h = np.asarray(members)
+        g = members_h.shape[0]
+        counts = (members_h >= 0).sum(axis=1).astype(np.int64)
+        caps = np.maximum(8, ((counts + 7) // 8) * 8)     # 8-aligned DMA starts
+        offsets = np.zeros(g, np.int64)
+        np.cumsum(caps[:-1], out=offsets[1:])
+        d = centroids.shape[1]
+        d_pad = ((d + 127) // 128) * 128
+        guard = 1024 + 128                                # max chunk + lane
+        total = int(offsets[-1] + caps[-1]) + guard
+        perm = np.full(total, -1, np.int32)
+        for gi in range(g):
+            mem = members_h[gi][members_h[gi] >= 0]
+            perm[offsets[gi]:offsets[gi] + len(mem)] = mem
+        cent = np.zeros((total, d_pad), np.float32)
+        live = perm >= 0
+        cent[live, :d] = np.asarray(centroids)[perm[live]]
+        return cls(centroids, jnp.asarray(group_centers, jnp.float32),
+                   jnp.asarray(members_h), jnp.asarray(offsets, jnp.int32),
+                   jnp.asarray(counts, jnp.int32), jnp.asarray(perm),
+                   jnp.asarray(cent, jnp.bfloat16), metric, n_probe_groups)
 
     @property
     def kc(self) -> int:
@@ -94,23 +137,61 @@ class TwoLevelCoarseQuantizer:
         gp = min(self.n_probe_groups, self.group_centers.shape[0])
         gdist = self.metric.pairwise(queries, self.group_centers)   # (B, g)
         _, gids = topk_lastdim(gdist, gp)                           # (B, gp)
-        cand = self.members[gids].reshape(queries.shape[0], -1)     # (B, gp*gmax)
-        valid = cand >= 0
-        cvecs = self.centroids[jnp.where(valid, cand, 0)]           # (B, C, d)
-        # Per-candidate distance, batched over queries.
-        cdist = jax.vmap(self.metric.pairwise)(queries[:, None, :], cvecs)[:, 0, :]
-        cdist = jnp.where(valid, cdist, jnp.inf)
-        dists, pos = topk_lastdim(cdist, w)
-        cells = jnp.take_along_axis(cand, pos, axis=1)
+        if self.kc <= self._GATHER_MAX:
+            cand = self.members[gids].reshape(queries.shape[0], -1)
+            valid = cand >= 0
+            cvecs = self.centroids[jnp.where(valid, cand, 0)]       # (B, C, d)
+            cdist = jax.vmap(self.metric.pairwise)(
+                queries[:, None, :], cvecs)[:, 0, :]
+            cdist = jnp.where(valid, cdist, jnp.inf)
+            w_eff = min(w, cand.shape[1])   # fewer candidates than w: pad
+            dists, pos = topk_lastdim(cdist, w_eff)
+            cells = jnp.take_along_axis(cand, pos, axis=1)
+            cells = jnp.where(jnp.isfinite(dists), cells, 0)
+            if w_eff < w:
+                cells = jnp.pad(cells, ((0, 0), (0, w - w_eff)))
+                dists = jnp.pad(dists, ((0, 0), (0, w - w_eff)),
+                                constant_values=jnp.inf)
+            return cells.astype(jnp.int32), dists
+        return self._scan_stage2(queries, gids, gp, w)
+
+    def _scan_stage2(self, queries, gids, gp: int, w: int):
+        """Stage 2 via the grouped Pallas scan (sqeuclidean decomposition:
+        |q-c|^2 = |q|^2 - 2 q.c + |c|^2, bf16 matmuls, f32 accumulate)."""
+        from ivfadc_tpu.ops.pallas_scan import grouped_dense_scan
+        from ivfadc_tpu.ops.topk import topk_lastdim
+        B, d = queries.shape
+        chunk = 512
+        v = jnp.broadcast_to((-2.0 * queries)[:, None, :], (B, gp, d))
+        base = jnp.broadcast_to(
+            jnp.sum(queries * queries, axis=1)[:, None], (B, gp))
+        out_d, out_p = grouped_dense_scan(
+            gids, self.csr_offsets, self.csr_sizes, v, base, self.cent_scan,
+            kc=self.group_centers.shape[0], k_out=min(w, 128), chunk=chunk,
+            norm_coef=1.0, pb=64, merge="fold", nf=128,
+            interpret=jax.default_backend() != "tpu")
+        nf = out_d.shape[-1]
+        flat_d = out_d.reshape(B, gp * nf)
+        flat_p = out_p.reshape(B, gp * nf)
+        w_eff = min(w, gp * nf)
+        dists, which = topk_lastdim(flat_d, w_eff)
+        pos = jnp.take_along_axis(flat_p, which, axis=1)
+        cells = jnp.where(pos >= 0, self.perm[jnp.where(pos >= 0, pos, 0)], 0)
+        cells = jnp.where(jnp.isfinite(dists), cells, 0)
+        if w_eff < w:
+            cells = jnp.pad(cells, ((0, 0), (0, w - w_eff)))
+            dists = jnp.pad(dists, ((0, 0), (0, w - w_eff)),
+                            constant_values=jnp.inf)
         return cells.astype(jnp.int32), dists
 
     def tree_flatten(self):
-        return ((self.centroids, self.group_centers, self.members),
+        return ((self.centroids, self.group_centers, self.members,
+                 self.csr_offsets, self.csr_sizes, self.perm, self.cent_scan),
                 (self.metric, self.n_probe_groups))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], children[2], aux[0], aux[1])
+        return cls(*children, aux[0], aux[1])
 
 
 def build_two_level(key: jax.Array, centroids: jax.Array, metric: Metric,
@@ -125,20 +206,23 @@ def build_two_level(key: jax.Array, centroids: jax.Array, metric: Metric,
     if g <= 1:
         group_centers = jnp.mean(centroids, axis=0, keepdims=True)
         members = jnp.arange(kc, dtype=jnp.int32)[None, :]
-        return TwoLevelCoarseQuantizer(centroids, group_centers, members,
-                                       metric, 1)
+        return TwoLevelCoarseQuantizer.create(centroids, group_centers,
+                                              members, metric, 1)
     res = kmeans(key, centroids, g, maxiter=maxiter, metric=metric)
     assign = np.asarray(res.assignments)
     counts = np.bincount(assign, minlength=g)
     gmax = max(1, int(counts.max()))
     members = np.full((g, gmax), -1, np.int32)
-    fill = np.zeros(g, np.int64)
-    for c, a in enumerate(assign):
-        members[a, fill[a]] = c
-        fill[a] += 1
-    gp = n_probe_groups or max(1, -(-g // 4))
-    return TwoLevelCoarseQuantizer(centroids, res.centers,
-                                   jnp.asarray(members), metric, gp)
+    order = np.argsort(assign, kind="stable")
+    within = np.arange(kc, dtype=np.int64) - np.concatenate(
+        [[0], np.cumsum(counts)[:-1]])[assign[order]]
+    members[assign[order], within] = order
+    # probe a quarter of the groups, but never fewer than 8: at small g the
+    # quarter rule prunes too hard (uniform data spreads a query's true
+    # cells across groups) while 8 groups is still cheap
+    gp = n_probe_groups or max(min(g, 8), -(-g // 4))
+    return TwoLevelCoarseQuantizer.create(centroids, res.centers, members,
+                                          metric, gp)
 
 
 def make_coarse_quantizer(kind: str, key, centroids, metric: Metric):

@@ -100,10 +100,22 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, queries,
         base = jax.vmap(metric.pairwise)(queries[:, None, :], cent)[:, 0, :]
         norm_coef = 0.0
     k_out = min(k, 128)
-    out_d, out_p = grouped_dense_scan(
-        cells, offsets, sizes, v, base, decoded, kc=offsets.shape[0],
-        k_out=k_out, chunk=chunk, norm_coef=norm_coef, pb=pb, merge=merge,
-        nf=nf if merge == "fold" else 128, interpret=interpret)
+    B_, w_ = cells.shape
+    kc_ = offsets.shape[0]
+    if B_ * w_ >= 4 * kc_:
+        # probes share cells heavily -> cell-grouped kernel amortizes DMA
+        out_d, out_p = grouped_dense_scan(
+            cells, offsets, sizes, v, base, decoded, kc=kc_,
+            k_out=k_out, chunk=chunk, norm_coef=norm_coef, pb=pb, merge=merge,
+            nf=nf if merge == "fold" else 128, interpret=interpret)
+    else:
+        # mostly-distinct cells (huge-kc regime): grouping would emit ~one
+        # tile per probe with pb-1 wasted rows; scan one probe per row
+        from ivfadc_tpu.ops.pallas_scan import dense_scan
+        out_d, out_p = dense_scan(
+            offsets[cells], sizes[cells], v, base, decoded,
+            k_out=k_out, chunk=chunk, norm_coef=norm_coef, merge=merge,
+            interpret=interpret)
     n_cand = out_d.shape[-1]
     flat_d = out_d.reshape(B, w * n_cand)
     flat_p = out_p.reshape(B, w * n_cand)
@@ -203,15 +215,23 @@ class IVFADCIndex:
             residuals = xd - cres.centers[cres.assignments]
             jax.block_until_ready(residuals)
         with timer.phase("train_quantizer"):
+            train_res = residuals
+            qs = config.quantization_sample
+            if qs and qs < n:
+                sel = jax.random.choice(jax.random.fold_in(k_quant, 1), n,
+                                        (qs,), replace=False)
+                train_res = residuals[sel]
             quantizer = pq_ops.train_quantizer(
-                k_quant, residuals, m=config.m, k=config.k,
+                k_quant, train_res, m=config.m, k=config.k,
                 method=config.quantization_method,
                 maxiter=config.quantization_maxiter, metric=qmetric,
                 opq_iters=config.opq_iters, block=config.kmeans_block)
+            del train_res
             jax.block_until_ready(quantizer.codebooks)
         with timer.phase("encode"):
             codes = pq_ops.encode(quantizer, residuals, metric=qmetric)
             jax.block_until_ready(codes)
+            del residuals, xd      # free the two big f32 temporaries
         with timer.phase("build_lists"):
             store = PostingStore.build(np.asarray(cres.assignments),
                                        np.asarray(codes), config.kc,
@@ -246,8 +266,11 @@ class IVFADCIndex:
                         or not self.quant_metric.residual_based)
         mode = self._resolve_scan_mode()
         if mode == "dense":
-            chunk = self.config.scan_chunk
-            dev = self.store.device_view_dense(self.quantizer, chunk)
+            chunk = self._effective_chunk()
+            # guard padding sized to the max configured chunk so the cached
+            # decoded array stays valid if the effective chunk later grows
+            dev = self.store.device_view_dense(self.quantizer,
+                                               self.config.scan_chunk)
             out_ids, out_dists = _dense_search_impl(
                 self.coarse, self.quantizer.rotation,
                 dev["offsets"], dev["sizes"], dev["decoded"], dev["ids"], q,
@@ -270,6 +293,20 @@ class IVFADCIndex:
         if Bp == B:
             return out_ids, out_dists
         return out_ids[:B], out_dists[:B]
+
+    def _effective_chunk(self) -> int:
+        """DMA chunk adapted to the cell-size distribution: the kernel always
+        reads whole chunks, so huge-kc/tiny-cell indexes (Deep1B-style
+        kc=2^18: ~8-row cells) would waste ~chunk/cell_size of bandwidth at
+        the configured chunk. Clamp to the p95 cell capacity (128-multiple)
+        so most cells stay single-chunk with bounded padding."""
+        caps = self.store.caps
+        if len(caps) == 0:
+            return self.config.scan_chunk
+        p95 = int(np.percentile(caps, 95))
+        eff = max(self.config.scan_fold_lanes,
+                  min(self.config.scan_chunk, ((p95 + 127) // 128) * 128))
+        return eff
 
     def _resolve_merge_mode(self) -> str:
         mode = self.config.scan_merge

@@ -160,7 +160,17 @@ def kmeans(key: jax.Array, x: jax.Array, k: int, *,
     key_init, key_seed = jax.random.split(jax.random.fold_in(key, k))
     x = jnp.asarray(x, jnp.float32)
     block = min(block, max(256, n))
+    # the assignment step materializes a (block, k) distance matrix and a
+    # (block, k) one-hot — cap their footprint (~1 GB f32) for huge-k builds
+    block = max(256, min(block, (1 << 28) // max(k, 1)))
 
+    # k-means++ is a k-step sequential loop (rank-1 distance updates) — fine
+    # to a few thousand centers, hours at Deep1B-scale kc=2^18. Past the
+    # cutoff, seed from a uniform sample of distinct points; Lloyd iterations
+    # recover the quality at these k (quality asserted on recall, SURVEY §7).
+    _PP_MAX_K = 4096
+    if init == "kmeans++" and k > _PP_MAX_K:
+        init = "random"
     if init == "kmeans++":
         xs = x
         if pp_sample and pp_sample < n:

@@ -53,7 +53,8 @@ def _scan_kernel(starts_ref, sizes_ref, base_ref,   # scalar prefetch (P,)
                  v_hbm, decoded_hbm,                # ANY/HBM
                  out_d_ref, out_p_ref,              # (PB, 128) VMEM blocks
                  vbuf, cbuf, vsem, csems,           # scratch
-                 *, chunk: int, k_out: int, norm_coef: float):
+                 *, chunk: int, k_out: int, norm_coef: float,
+                 merge: str = "exact"):
     step = pl.program_id(0)
     d = vbuf.shape[-1]
 
@@ -65,6 +66,7 @@ def _scan_kernel(starts_ref, sizes_ref, base_ref,   # scalar prefetch (P,)
     out_p_ref[...] = jnp.full((_PB, _CAND), -1, jnp.int32)
     kiota = jax.lax.broadcasted_iota(jnp.int32, (1, _CAND), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _CAND), 1)
     ones = jnp.ones((1, d), jnp.bfloat16)
     contract_last = (((1,), (1,)), ((), ()))  # (1,d) x (chunk,d) -> (1,chunk)
 
@@ -110,7 +112,21 @@ def _scan_kernel(starts_ref, sizes_ref, base_ref,   # scalar prefetch (P,)
             valid = lane < (size - ci * chunk)
             scores = jnp.where(valid, scores, jnp.inf)
 
-            def merge(t, sc):
+            if merge == "fold":
+                run_d = out_d_ref[p].reshape(1, _CAND)
+                run_p = out_p_ref[p].reshape(1, _CAND)
+                for g in range(chunk // _CAND):
+                    sub = jax.lax.slice_in_dim(
+                        scores, g * _CAND, (g + 1) * _CAND, axis=1)
+                    pos = start + ci * chunk + g * _CAND + lane128
+                    upd = sub < run_d
+                    run_d = jnp.where(upd, sub, run_d)
+                    run_p = jnp.where(upd, pos, run_p)
+                out_d_ref[p] = run_d.reshape(_CAND)
+                out_p_ref[p] = run_p.reshape(_CAND)
+                return 0
+
+            def merge_pass(t, sc):
                 cmin = jnp.min(sc)
                 cpos = jnp.argmin(sc.reshape(-1)).astype(jnp.int32)
                 run = out_d_ref[p].reshape(1, _CAND)
@@ -122,7 +138,7 @@ def _scan_kernel(starts_ref, sizes_ref, base_ref,   # scalar prefetch (P,)
                     out_p_ref[p].reshape(1, _CAND)).reshape(_CAND)
                 return jnp.where(lane == cpos, jnp.inf, sc)
 
-            jax.lax.fori_loop(0, k_out, merge, scores)
+            jax.lax.fori_loop(0, k_out, merge_pass, scores)
             return 0
 
         jax.lax.fori_loop(0, nchunks, body, 0)
@@ -344,9 +360,10 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, *, kc: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_out", "chunk", "norm_coef", "interpret"))
+    static_argnames=("k_out", "chunk", "norm_coef", "merge", "interpret"))
 def dense_scan(starts, sizes, v, base, decoded, *, k_out: int, chunk: int,
-               norm_coef: float = 1.0, interpret: bool = False):
+               norm_coef: float = 1.0, merge: str = "exact",
+               interpret: bool = False):
     """Scan the probed cells, returning per-probe candidate buffers.
 
     starts/sizes (B, w) int32 — slot ranges of the probed cells
@@ -392,7 +409,7 @@ def dense_scan(starts, sizes, v, base, decoded, *, k_out: int, chunk: int,
         ],
     )
     kernel = functools.partial(_scan_kernel, chunk=chunk, k_out=k_out,
-                               norm_coef=norm_coef)
+                               norm_coef=norm_coef, merge=merge)
     out_d, out_p = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

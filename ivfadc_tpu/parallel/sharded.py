@@ -184,7 +184,7 @@ class ShardedIVFADCIndex:
             # per-shard decoded residual caches (rotated space, bf16),
             # guard-padded for the kernel's chunked DMA
             from ivfadc_tpu.ops import pq as pq_ops
-            chunk = index.config.scan_chunk
+            chunk = index.config.scan_chunk     # guard for any effective chunk
             S, cap, _ = parts["codes"].shape
             dec = []
             for s_ in range(S):
@@ -234,7 +234,7 @@ class ShardedIVFADCIndex:
             apply_rot=self.index.quantizer.method == "opq",
             residual_based=self.index.quant_metric.residual_based,
             dense=self.scan_mode == "dense",
-            chunk=cfg.scan_chunk, pb=cfg.scan_pb,
+            chunk=self.index._effective_chunk(), pb=cfg.scan_pb,
             merge=self.index._resolve_merge_mode(),
             nf=cfg.scan_fold_lanes,
             interpret=jax.default_backend() == "cpu")

@@ -77,7 +77,7 @@ def load_index(path: str):
         cmetric = get_metric(config.coarse_metric)
         centroids = jnp.asarray(z["centroids"])
         if meta["coarse_kind"] == "two_level":
-            coarse = TwoLevelCoarseQuantizer(
+            coarse = TwoLevelCoarseQuantizer.create(
                 centroids, jnp.asarray(z["group_centers"]),
                 jnp.asarray(z["group_members"]), cmetric,
                 int(meta["n_probe_groups"]))

@@ -86,3 +86,34 @@ def test_fold_merge_recall_large_cells():
         ids1, _ = idx.search_padded(queries, 1, w=2)
         assert (ids1 >= 0).all()
     assert rec["fold"] >= rec["exact"] - 0.02, rec
+
+
+def test_two_level_scan_stage2_large_kc():
+    """kc above the gather cutoff routes coarse stage 2 through the grouped
+    Pallas scan; probed cells must be (approximately) the true nearest —
+    measured as top-w recall vs the exact brute-force coarse scan."""
+    from ivfadc_tpu.models.coarse import (NaiveCoarseQuantizer,
+                                          TwoLevelCoarseQuantizer,
+                                          build_two_level)
+    from ivfadc_tpu.ops.metrics import SQEUCLIDEAN
+    rng = np.random.RandomState(0)
+    kc, d = 8192, 32
+    assert kc > TwoLevelCoarseQuantizer._GATHER_MAX
+    cents = jnp.asarray(rng.randn(kc, d).astype(np.float32))
+    tl = build_two_level(jax.random.PRNGKey(0), cents, SQEUCLIDEAN,
+                         maxiter=8)
+    naive = NaiveCoarseQuantizer(cents, SQEUCLIDEAN)
+    q = jnp.asarray(rng.randn(64, d).astype(np.float32))
+    cells_tl, dists_tl = tl.search(q, 4)
+    cells_ex, _ = naive.search(q, 4)
+    hit = np.mean([len(set(a.tolist()) & set(b.tolist())) / 4
+                   for a, b in zip(np.asarray(cells_tl),
+                                   np.asarray(cells_ex))])
+    # uniform random centroids are the worst case for group pruning (no
+    # cluster structure to exploit); real coarse centroids do much better
+    assert hit >= 0.8, hit
+    # distances must match the true squared distances (bf16-level tolerance)
+    true_d = np.asarray(
+        jnp.sum((q[:, None, :] - cents[cells_tl]) ** 2, axis=-1))
+    np.testing.assert_allclose(np.asarray(dists_tl), true_d,
+                               rtol=2e-2, atol=1e-2)
