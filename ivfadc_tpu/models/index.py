@@ -233,9 +233,9 @@ class IVFADCIndex:
             jax.block_until_ready(codes)
             del residuals, xd      # free the two big f32 temporaries
         with timer.phase("build_lists"):
-            store = PostingStore.build(np.asarray(cres.assignments),
-                                       np.asarray(codes), config.kc,
-                                       slack=config.cell_slack)
+            store = PostingStore.build_device(cres.assignments, codes,
+                                              config.kc,
+                                              slack=config.cell_slack)
         with timer.phase("coarse_quantizer"):
             coarse = make_coarse_quantizer(config.coarse_quantizer, k_cq,
                                            cres.centers, cmetric)

@@ -44,17 +44,44 @@ def jnp_where_shift(ids, threshold: int, delta: int):
 class PostingStore:
     def __init__(self, kc: int, m: int, code_dtype: np.dtype, *,
                  offsets: np.ndarray, caps: np.ndarray, sizes: np.ndarray,
-                 codes: np.ndarray, ids: np.ndarray):
+                 codes: Optional[np.ndarray], ids: Optional[np.ndarray],
+                 codes_dev=None, ids_dev=None):
         self.kc = kc
         self.m = m
         self.code_dtype = np.dtype(code_dtype)
         self.offsets = offsets       # (kc,) int64
         self.caps = caps             # (kc,) int64
         self.sizes = sizes           # (kc,) int64
-        self.codes = codes           # (total_cap, m) code_dtype
-        self.ids = ids               # (total_cap,) int64, -1 = empty slot
+        # host flat arrays — may start as None after a device-side build
+        # (D2H on tunneled runtimes moves ~1 MB/s; only dynamic ops and
+        # save need the host copy, so it hydrates lazily)
+        self._codes_h = codes        # (total_cap, m) code_dtype | None
+        self._ids_h = ids            # (total_cap,) int64, -1 = empty | None
+        self._codes_dev = codes_dev  # device arrays from build_device
+        self._ids_dev = ids_dev
         self._device: Optional[Dict] = None
         self._device_dense: Optional[Dict] = None
+
+    # ---- host views (hydrate lazily; mutation drops the build-time device
+    # arrays so later device views rebuild from host truth) ----
+    @property
+    def codes(self) -> np.ndarray:
+        if self._codes_h is None:
+            # np.asarray of a device buffer is read-only — copy, mutators
+            # write in place
+            self._codes_h = np.array(self._codes_dev)
+        return self._codes_h
+
+    @property
+    def ids(self) -> np.ndarray:
+        if self._ids_h is None:
+            self._ids_h = np.asarray(self._ids_dev).astype(np.int64)
+        return self._ids_h
+
+    def _materialize_for_mutation(self) -> None:
+        _ = self.codes, self.ids
+        self._codes_dev = None
+        self._ids_dev = None
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -85,6 +112,40 @@ class PostingStore:
         flat_ids[slots] = order
         return cls(kc, m, codes.dtype, offsets=offsets, caps=caps,
                    sizes=counts, codes=flat_codes, ids=flat_ids)
+
+    @classmethod
+    def build_device(cls, assignments, codes, kc: int,
+                     slack: float = 1.25) -> "PostingStore":
+        """`build` with the sort/scatter on device: only the (kc,) cell
+        counts cross to host; the flat code/id arrays stay device-resident
+        (search needs nothing else) and the host copy hydrates on first
+        dynamic op / save."""
+        import jax.numpy as jnp
+        assignments = jnp.asarray(assignments, jnp.int32)
+        codes = jnp.asarray(codes)
+        n, m = codes.shape
+        counts = np.asarray(jnp.bincount(assignments, length=kc)
+                            ).astype(np.int64)
+        caps = (counts.astype(np.float64) * slack).astype(np.int64) + 8
+        caps = np.maximum(8, ((caps + 7) // 8) * 8)
+        offsets = np.zeros(kc, np.int64)
+        np.cumsum(caps[:-1], out=offsets[1:])
+        total = int(offsets[-1] + caps[-1])
+        starts = np.zeros(kc, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        order = jnp.argsort(assignments, stable=True)
+        a_sorted = assignments[order]
+        # int32 slot math: total_cap beyond 2^31 would need x64 mode anyway
+        within = jnp.arange(n, dtype=jnp.int32) - \
+            jnp.asarray(starts, jnp.int32)[a_sorted]
+        slots = jnp.asarray(offsets, jnp.int32)[a_sorted] + within
+        flat_codes = jnp.zeros((total, m), codes.dtype).at[slots].set(
+            codes[order], unique_indices=True)
+        flat_ids = jnp.full(total, -1, jnp.int32).at[slots].set(
+            order.astype(jnp.int32), unique_indices=True)
+        return cls(kc, m, np.dtype(codes.dtype.name), offsets=offsets,
+                   caps=caps, sizes=counts, codes=None, ids=None,
+                   codes_dev=flat_codes, ids_dev=flat_ids)
 
     # ------------------------------------------------------------- properties
     @property
@@ -142,6 +203,7 @@ class PostingStore:
                 view["ids"] = jnp_where_shift(ids, threshold, delta)
 
     def append(self, cell: int, code_row: np.ndarray, ext_id: int) -> None:
+        self._materialize_for_mutation()
         if self.sizes[cell] >= self.caps[cell]:
             self._grow_cell(cell)
         slot = int(self.offsets[cell] + self.sizes[cell])
@@ -182,6 +244,7 @@ class PostingStore:
         """Swap-remove one posting; returns its code row. (Order within a cell
         is not part of the contract — the reference's delete test matches
         codes by id, not by position, test/utils.jl:84-104.)"""
+        self._materialize_for_mutation()
         last = int(self.offsets[cell] + self.sizes[cell] - 1)
         code = self.codes[slot].copy()
         moved_code = self.codes[last].copy()
@@ -200,6 +263,7 @@ class PostingStore:
         """ids > threshold += delta over ALL cells — the reference's
         `_shift_inverse_index!` (/root/reference/src/utils.jl:16-20), here one
         vectorized masked add instead of an O(n) dict rebuild."""
+        self._materialize_for_mutation()
         mask = self.ids > threshold
         self.ids[mask] += delta
         self._dev_shift_ids(threshold, delta)
@@ -212,6 +276,7 @@ class PostingStore:
         dels = np.unique(np.asarray(ext_ids, np.int64))
         if dels.size == 0:
             return 0
+        self._materialize_for_mutation()
         hit = np.isin(self.ids, dels) & (self.ids >= 0)
         hit_slots = np.nonzero(hit)[0]
         if hit_slots.size != dels.size:
@@ -237,11 +302,15 @@ class PostingStore:
         """Cached jnp arrays for the jitted LUT search path."""
         if self._device is None:
             import jax.numpy as jnp
+            codes = self._codes_dev if self._codes_dev is not None \
+                else jnp.asarray(self.codes)
+            ids = self._ids_dev if self._ids_dev is not None \
+                else jnp.asarray(self.ids, jnp.int32)
             self._device = dict(
                 offsets=jnp.asarray(self.offsets, jnp.int32),
                 sizes=jnp.asarray(self.sizes, jnp.int32),
-                codes=jnp.asarray(self.codes),
-                ids=jnp.asarray(self.ids, jnp.int32),
+                codes=codes,
+                ids=ids,
             )
         return self._device
 
@@ -256,17 +325,22 @@ class PostingStore:
         if self._device_dense is None:
             import jax.numpy as jnp
             from ivfadc_tpu.ops import pq as pq_ops
-            total = self.codes.shape[0]
-            decoded = pq_ops.decode_rotated(quantizer, self.codes)
+            src_codes = self._codes_dev if self._codes_dev is not None \
+                else self.codes
+            decoded = pq_ops.decode_rotated(quantizer, src_codes)
             guard = chunk + _LANE
             d_pad = _round_up(decoded.shape[1], _LANE) - decoded.shape[1]
             decoded = jnp.pad(decoded, ((0, guard), (0, d_pad)))
+            if self._ids_dev is not None:
+                ids = jnp.pad(self._ids_dev, (0, guard), constant_values=-1)
+            else:
+                ids = jnp.asarray(
+                    np.pad(self.ids, (0, guard), constant_values=-1),
+                    jnp.int32)
             self._device_dense = dict(
                 offsets=jnp.asarray(self.offsets, jnp.int32),
                 sizes=jnp.asarray(self.sizes, jnp.int32),
                 decoded=decoded,
-                ids=jnp.asarray(
-                    np.pad(self.ids, (0, guard), constant_values=-1),
-                    jnp.int32),
+                ids=ids,
             )
         return self._device_dense
