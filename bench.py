@@ -42,8 +42,9 @@ def main():
     backend = jax.default_backend()
     on_accel = backend not in ("cpu",)
     n = int(os.environ.get("IVFADC_BENCH_N", 1_000_000 if on_accel else 100_000))
-    nq = int(os.environ.get("IVFADC_BENCH_NQ", 10_000 if on_accel else 1_000))
-    batch = int(os.environ.get("IVFADC_BENCH_BATCH", 4096))
+    nq = int(os.environ.get("IVFADC_BENCH_NQ", 32_768 if on_accel else 1_000))
+    batch = int(os.environ.get("IVFADC_BENCH_BATCH",
+                               16_384 if on_accel else 1024))
     kc = int(os.environ.get("IVFADC_BENCH_KC", 1024))
     m, kq, d = 8, 256, 128
     nprobe, topk = 8, 10
@@ -71,7 +72,8 @@ def main():
     kq_, kn_ = jax.random.split(key)
     qidx = jax.random.randint(kq_, (nq,), 0, n)
     qdev = based[qidx] + 0.05 * jax.random.normal(kn_, (nq, d), jnp.float32)
-    queries = np.asarray(qdev)
+    # only the oracle/recall slice crosses to host (D2H is slow on tunnels)
+    queries = np.asarray(qdev[:max(n_gt, n_oracle)])
 
     t0 = time.time()
     index = IVFADCIndex.build(
@@ -86,7 +88,7 @@ def main():
 
     # --- QPS: steady-state on-chip throughput (pipelined dispatch, honest
     # completion via scalar fetch) ---
-    nbatches = max(1, min(nq, 8192) // batch)
+    nbatches = max(1, nq // batch)
 
     def run_wave():
         outs = [index._device_search(qdev[s * batch:(s + 1) * batch],
