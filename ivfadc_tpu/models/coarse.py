@@ -137,7 +137,12 @@ class TwoLevelCoarseQuantizer:
         gp = min(self.n_probe_groups, self.group_centers.shape[0])
         gdist = self.metric.pairwise(queries, self.group_centers)   # (B, g)
         _, gids = topk_lastdim(gdist, gp)                           # (B, gp)
-        if self.kc <= self._GATHER_MAX:
+        # The Pallas stage-2 scan scores via the |q|^2 - 2q.c + |c|^2
+        # decomposition, valid only for the (sq)euclidean pairwise; other
+        # metrics stay on the exact gather path at any kc (memory-heavy for
+        # huge kc, but correct — huge-kc + exotic-coarse-metric is a corner).
+        scan_ok = self.metric.name in ("sqeuclidean", "euclidean")
+        if self.kc <= self._GATHER_MAX or not scan_ok:
             cand = self.members[gids].reshape(queries.shape[0], -1)
             valid = cand >= 0
             cvecs = self.centroids[jnp.where(valid, cand, 0)]       # (B, C, d)

@@ -115,17 +115,15 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, queries,
         out_d, out_p = dense_scan(
             offsets[cells], sizes[cells], v, base, decoded,
             k_out=k_out, chunk=chunk, norm_coef=norm_coef, merge=merge,
-            interpret=interpret)
+            nf=nf if merge == "fold" else 128, interpret=interpret)
     n_cand = out_d.shape[-1]
     flat_d = out_d.reshape(B, w * n_cand)
     flat_p = out_p.reshape(B, w * n_cand)
     k_eff = min(k, w * n_cand)
     from ivfadc_tpu.ops.topk import topk_lastdim
-    out_dists_k, which = topk_lastdim(flat_d, k_eff, interpret=interpret)
-    neg = -out_dists_k
+    out_dists, which = topk_lastdim(flat_d, k_eff, interpret=interpret)
     pos = jnp.take_along_axis(flat_p, which, axis=1)
     out_ids = jnp.where(pos >= 0, ids[jnp.where(pos >= 0, pos, 0)], -1)
-    out_dists = -neg
     out_ids = jnp.where(jnp.isfinite(out_dists), out_ids, -1)
     if k_eff < k:
         pad = k - k_eff
@@ -195,7 +193,13 @@ class IVFADCIndex:
         if data.ndim != 2:
             raise AssertionError("data must be a 2-D (n, d) array")
         n, d = data.shape
-        data_dtype = np.dtype(np.float32) if on_device else data.dtype
+        if on_device:
+            try:
+                data_dtype = np.dtype(str(data.dtype))   # e.g. 'float16'
+            except TypeError:                            # bfloat16 etc.
+                data_dtype = np.dtype(np.float32)
+        else:
+            data_dtype = data.dtype
         config.validate_for_data(n, d)
         cmetric = get_metric(config.coarse_metric)
         qmetric = get_metric(config.quantization_metric)
@@ -298,14 +302,21 @@ class IVFADCIndex:
         """DMA chunk adapted to the cell-size distribution: the kernel always
         reads whole chunks, so huge-kc/tiny-cell indexes (Deep1B-style
         kc=2^18: ~8-row cells) would waste ~chunk/cell_size of bandwidth at
-        the configured chunk. Clamp to the p95 cell capacity (128-multiple)
-        so most cells stay single-chunk with bounded padding."""
+        the configured chunk. Clamp to the p95 cell capacity, rounded up to
+        a scan_fold_lanes multiple (the kernel requires nf | chunk), so most
+        cells stay single-chunk with bounded padding. Cached per caps array
+        (caps only change on cell growth, which replaces the array)."""
         caps = self.store.caps
         if len(caps) == 0:
             return self.config.scan_chunk
+        cache = getattr(self, "_eff_chunk_cache", None)
+        if cache is not None and cache[0] is caps:
+            return cache[1]
+        nf = self.config.scan_fold_lanes
         p95 = int(np.percentile(caps, 95))
-        eff = max(self.config.scan_fold_lanes,
-                  min(self.config.scan_chunk, ((p95 + 127) // 128) * 128))
+        eff = max(nf, min(self.config.scan_chunk,
+                          ((p95 + nf - 1) // nf) * nf))
+        self._eff_chunk_cache = (caps, eff)
         return eff
 
     def _resolve_merge_mode(self) -> str:

@@ -227,7 +227,7 @@ class PostingStore:
                 new_codes[o_new:o_new + s] = self.codes[o_old:o_old + s]
                 new_ids[o_new:o_new + s] = self.ids[o_old:o_old + s]
         self.offsets, self.caps = new_offsets, new_caps
-        self.codes, self.ids = new_codes, new_ids
+        self._codes_h, self._ids_h = new_codes, new_ids
         self._invalidate()
 
     def find(self, ext_id: int) -> Tuple[int, int]:

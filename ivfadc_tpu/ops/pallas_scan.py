@@ -54,7 +54,7 @@ def _scan_kernel(starts_ref, sizes_ref, base_ref,   # scalar prefetch (P,)
                  out_d_ref, out_p_ref,              # (PB, 128) VMEM blocks
                  vbuf, cbuf, vsem, csems,           # scratch
                  *, chunk: int, k_out: int, norm_coef: float,
-                 merge: str = "exact"):
+                 merge: str = "exact", nf: int = _CAND):
     step = pl.program_id(0)
     d = vbuf.shape[-1]
 
@@ -62,9 +62,9 @@ def _scan_kernel(starts_ref, sizes_ref, base_ref,   # scalar prefetch (P,)
         v_hbm.at[pl.ds(step * _PB, _PB), :], vbuf, vsem)
     vdma.start()
 
-    out_d_ref[...] = jnp.full((_PB, _CAND), jnp.inf, jnp.float32)
-    out_p_ref[...] = jnp.full((_PB, _CAND), -1, jnp.int32)
-    kiota = jax.lax.broadcasted_iota(jnp.int32, (1, _CAND), 1)
+    out_d_ref[...] = jnp.full((_PB, nf), jnp.inf, jnp.float32)
+    out_p_ref[...] = jnp.full((_PB, nf), -1, jnp.int32)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (1, nf), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _CAND), 1)
     ones = jnp.ones((1, d), jnp.bfloat16)
@@ -113,17 +113,25 @@ def _scan_kernel(starts_ref, sizes_ref, base_ref,   # scalar prefetch (P,)
             scores = jnp.where(valid, scores, jnp.inf)
 
             if merge == "fold":
-                run_d = out_d_ref[p].reshape(1, _CAND)
-                run_p = out_p_ref[p].reshape(1, _CAND)
+                nbank = nf // _CAND
+                run_d = out_d_ref[p].reshape(1, nf)
+                run_p = out_p_ref[p].reshape(1, nf)
+                banks_d = [jax.lax.slice_in_dim(run_d, b * _CAND,
+                                                (b + 1) * _CAND, axis=1)
+                           for b in range(nbank)]
+                banks_p = [jax.lax.slice_in_dim(run_p, b * _CAND,
+                                                (b + 1) * _CAND, axis=1)
+                           for b in range(nbank)]
                 for g in range(chunk // _CAND):
+                    b = g % nbank
                     sub = jax.lax.slice_in_dim(
                         scores, g * _CAND, (g + 1) * _CAND, axis=1)
                     pos = start + ci * chunk + g * _CAND + lane128
-                    upd = sub < run_d
-                    run_d = jnp.where(upd, sub, run_d)
-                    run_p = jnp.where(upd, pos, run_p)
-                out_d_ref[p] = run_d.reshape(_CAND)
-                out_p_ref[p] = run_p.reshape(_CAND)
+                    upd = sub < banks_d[b]
+                    banks_d[b] = jnp.where(upd, sub, banks_d[b])
+                    banks_p[b] = jnp.where(upd, pos, banks_p[b])
+                out_d_ref[p] = jnp.concatenate(banks_d, axis=1).reshape(nf)
+                out_p_ref[p] = jnp.concatenate(banks_p, axis=1).reshape(nf)
                 return 0
 
             def merge_pass(t, sc):
@@ -360,9 +368,10 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, *, kc: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_out", "chunk", "norm_coef", "merge", "interpret"))
+    static_argnames=("k_out", "chunk", "norm_coef", "merge", "nf",
+                     "interpret"))
 def dense_scan(starts, sizes, v, base, decoded, *, k_out: int, chunk: int,
-               norm_coef: float = 1.0, merge: str = "exact",
+               norm_coef: float = 1.0, merge: str = "exact", nf: int = _CAND,
                interpret: bool = False):
     """Scan the probed cells, returning per-probe candidate buffers.
 
@@ -373,9 +382,13 @@ def dense_scan(starts, sizes, v, base, decoded, *, k_out: int, chunk: int,
                                      by at least `chunk` rows past any cell
 
     Returns (dists (B, w, 128) f32 with +inf padding, positions (B, w, 128)
-    i32 slot indices with -1 padding). The 128-lane buffers contain at least
-    the per-probe top-k_out, unsorted.
+    i32 slot indices with -1 padding). The nf-lane buffers contain at least
+    the per-probe top-k_out (exact merge; fold keeps per-slot bests),
+    unsorted.
     """
+    if merge == "exact":
+        assert nf == _CAND, "exact merge uses a single 128-lane buffer"
+    assert nf % _CAND == 0 and chunk % nf == 0, (nf, chunk)
     if v.shape[-1] != decoded.shape[-1]:
         v = jnp.pad(v, ((0, 0), (0, 0), (0, decoded.shape[-1] - v.shape[-1])))
     B, w, d = v.shape
@@ -396,9 +409,9 @@ def dense_scan(starts, sizes, v, base, decoded, *, k_out: int, chunk: int,
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((_PB, _CAND), lambda s, *_: (s, 0),
+            pl.BlockSpec((_PB, nf), lambda s, *_: (s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_PB, _CAND), lambda s, *_: (s, 0),
+            pl.BlockSpec((_PB, nf), lambda s, *_: (s, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -409,15 +422,15 @@ def dense_scan(starts, sizes, v, base, decoded, *, k_out: int, chunk: int,
         ],
     )
     kernel = functools.partial(_scan_kernel, chunk=chunk, k_out=k_out,
-                               norm_coef=norm_coef, merge=merge)
+                               norm_coef=norm_coef, merge=merge, nf=nf)
     out_d, out_p = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((P_pad, _CAND), jnp.float32),
-            jax.ShapeDtypeStruct((P_pad, _CAND), jnp.int32),
+            jax.ShapeDtypeStruct((P_pad, nf), jnp.float32),
+            jax.ShapeDtypeStruct((P_pad, nf), jnp.int32),
         ],
         interpret=interpret,
     )(starts_f, sizes_f, base_f, v_f, decoded)
-    return (out_d[:P].reshape(B, w, _CAND),
-            out_p[:P].reshape(B, w, _CAND))
+    return (out_d[:P].reshape(B, w, nf),
+            out_p[:P].reshape(B, w, nf))

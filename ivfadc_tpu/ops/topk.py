@@ -82,6 +82,10 @@ def topk_lastdim(x: jax.Array, k: int, *, interpret: bool | None = None):
     Exact (same values as `lax.top_k(-x, k)`); falls back to XLA top_k when
     the shape doesn't suit the kernel. interpret=None auto-selects Pallas
     interpret mode off-TPU.
+
+    Caveat: when a row holds fewer than k finite entries, the +inf tail's
+    indices may repeat (each extraction re-selects an inf slot) — callers
+    must mask results by `isfinite(vals)`, not trust indices of inf entries.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

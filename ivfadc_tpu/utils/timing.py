@@ -50,7 +50,8 @@ def true_time(fn: Callable, reps: int = 20, warm: int = 2,
     arrays), amortizing RPC latency across `reps` pipelined calls."""
     if baseline is None:
         baseline = roundtrip_latency()
-    for _ in range(warm):
+    # at least one warm call: its output also warms the _fold/_leaf_sum jits
+    for _ in range(max(warm, 1)):
         out = fn()
     acc = jnp.float32(0)
     acc = _fold(acc, _leaf_sum(out))

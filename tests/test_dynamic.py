@@ -180,3 +180,18 @@ def test_incremental_device_cache_matches_cold_rebuild(random_data):
     ids_cold, d_cold = cold.search_padded(q, 5, w=6)
     np.testing.assert_array_equal(ids_patched, ids_cold)
     np.testing.assert_allclose(d_patched, d_cold, rtol=1e-5)
+
+
+def test_cell_growth_on_overflowing_pushes(random_data):
+    """Pushing many near-identical points overflows one cell's capacity and
+    forces a store regrow (regression: regrow once crashed on the read-only
+    hydrated host arrays)."""
+    from tests.conftest import build_random_index
+    idx = build_random_index(random_data)
+    n0 = len(idx)
+    target = np.full(10, 0.5, np.float32)
+    for i in range(60):
+        idx.push(target + 1e-4 * i)
+    assert len(idx) == n0 + 60
+    ids, _ = idx.search(target, 5, w=4)
+    assert len(ids) == 5 and (np.asarray(ids) >= n0).all()
