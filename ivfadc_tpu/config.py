@@ -79,6 +79,10 @@ class IVFADCConfig:
 
     # TPU-build specific knobs (no reference counterpart).
     seed: int = 0
+    coarse_n_groups: int = 0        # two-level coarse: number of centroid
+                                    # groups (0 = ceil(sqrt(kc)))
+    coarse_probe_groups: int = 0    # groups probed per query (0 = max(g/4, 8));
+                                    # the two-level recall/speed dial
     opq_iters: int = 4              # outer alternations for OPQ rotation learning
     kmeans_block: int = 16384       # points per chunk in the assignment step
     cell_slack: float = 1.25        # padded-CSR over-allocation factor per cell
@@ -149,8 +153,8 @@ class IVFADCConfig:
             raise AssertionError(f"Number of quantization levels has to be <= {n}")
         if not (1 <= self.m <= d):
             raise AssertionError(f"Number of codebooks has to be between 1 and {d}")
-        if d % self.m != 0:
-            raise AssertionError(f"Number of codebooks m={self.m} must divide dim d={d}")
+        # m need not divide d (the reference allows ragged subspace splits
+        # via rowrange); the quantizer zero-pads to m * ceil(d/m) internally.
         if self.coarse_maxiter <= 0 or self.quantization_maxiter <= 0:
             raise AssertionError("Number of clustering iterations has to be > 0")
         if DTYPE_TO_BITS[self.index_dtype] < bits_required(n):

@@ -230,9 +230,12 @@ def build_two_level(key: jax.Array, centroids: jax.Array, metric: Metric,
                                           metric, gp)
 
 
-def make_coarse_quantizer(kind: str, key, centroids, metric: Metric):
+def make_coarse_quantizer(kind: str, key, centroids, metric: Metric,
+                          n_groups: int = 0, n_probe_groups: int = 0):
     if kind == "naive":
         return NaiveCoarseQuantizer(jnp.asarray(centroids, jnp.float32), metric)
     if kind in ("hnsw", "two_level"):
-        return build_two_level(key, jnp.asarray(centroids, jnp.float32), metric)
+        return build_two_level(key, jnp.asarray(centroids, jnp.float32),
+                               metric, n_groups=n_groups,
+                               n_probe_groups=n_probe_groups)
     raise ValueError(f"unknown coarse quantizer kind {kind!r}")

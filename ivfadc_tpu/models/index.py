@@ -48,6 +48,7 @@ def _search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids, queries,
     queries = queries.astype(jnp.float32)
     cells, cdists = cq.search(queries, w)                     # (B, w)
     cent = cq.centroids[cells]                                # (B, w, d)
+    dq = rotation.shape[0]                                    # quantizer dim
     if residual_based:
         vecs = queries[:, None, :] - cent                     # residuals (B, w, d)
         base = cdists if include_base else jnp.zeros_like(cdists)
@@ -58,6 +59,8 @@ def _search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids, queries,
         vecs = jnp.broadcast_to(queries[:, None, :],
                                 (queries.shape[0], w, queries.shape[1]))
         base = jax.vmap(metric.pairwise)(queries[:, None, :], cent)[:, 0, :]
+    if vecs.shape[-1] != dq:            # ragged-subspace zero padding
+        vecs = jnp.pad(vecs, ((0, 0), (0, 0), (0, dq - vecs.shape[-1])))
     if apply_rot:
         vecs = vecs @ rotation
     tables = build_adc_tables(metric, vecs, codebooks)        # (B, w, m, kq)
@@ -83,10 +86,13 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, queries,
 
     queries = queries.astype(jnp.float32)
     B = queries.shape[0]
+    dq = rotation.shape[0]                                    # quantizer dim
     cells, cdists = cq.search(queries, w)
     cent = cq.centroids[cells]
     if residual_based:
         r = queries[:, None, :] - cent
+        if r.shape[-1] != dq:           # ragged-subspace zero padding
+            r = jnp.pad(r, ((0, 0), (0, 0), (0, dq - r.shape[-1])))
         if apply_rot:
             r = r @ rotation
         v = -2.0 * r
@@ -95,7 +101,10 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, queries,
             base = base + cdists
         norm_coef = 1.0
     else:
-        q = queries @ rotation if apply_rot else queries
+        qv = queries
+        if qv.shape[-1] != dq:
+            qv = jnp.pad(qv, ((0, 0), (0, dq - qv.shape[-1])))
+        q = qv @ rotation if apply_rot else qv
         v = jnp.broadcast_to(-q[:, None, :], (B, w, q.shape[-1]))
         base = jax.vmap(metric.pairwise)(queries[:, None, :], cent)[:, 0, :]
         norm_coef = 0.0
@@ -241,8 +250,10 @@ class IVFADCIndex:
                                               config.kc,
                                               slack=config.cell_slack)
         with timer.phase("coarse_quantizer"):
-            coarse = make_coarse_quantizer(config.coarse_quantizer, k_cq,
-                                           cres.centers, cmetric)
+            coarse = make_coarse_quantizer(
+                config.coarse_quantizer, k_cq, cres.centers, cmetric,
+                n_groups=config.coarse_n_groups,
+                n_probe_groups=config.coarse_probe_groups)
         idx = cls(config, coarse, quantizer, store, data_dtype, d)
         idx.build_timings = timer.timings
         return idx
@@ -441,7 +452,7 @@ class IVFADCIndex:
     def _reconstruct_from(self, cell: int, codes: np.ndarray) -> np.ndarray:
         centroid = np.asarray(self.coarse.centroids[cell])
         resid = np.asarray(pq_ops.decode(self.quantizer, codes[None, :]))[0]
-        return (centroid + resid).astype(self.data_dtype)
+        return (centroid + resid[:self.dim]).astype(self.data_dtype)
 
     def pop(self) -> np.ndarray:
         """Remove & reconstruct the last-inserted point (id n-1)

@@ -100,11 +100,19 @@ def train_quantizer(key: jax.Array, residuals: jax.Array, *, m: int, k: int,
                     method: str = "pq", maxiter: int = 25,
                     metric: Metric = SQEUCLIDEAN, opq_iters: int = 4,
                     block: int = 16384) -> ProductQuantizer:
-    """Train a PQ/OPQ quantizer on (n, d) residual vectors."""
+    """Train a PQ/OPQ quantizer on (n, d) residual vectors.
+
+    When m does not divide d (the reference allows ragged `rowrange`
+    subspaces), the quantizer space is zero-padded to m * ceil(d/m):
+    padded dims carry zero residual mass, so distances are unchanged;
+    `encode` pads inputs and decoding callers slice back to d.
+    """
     n, d = residuals.shape
-    if d % m != 0:
-        raise AssertionError(f"m={m} must divide d={d}")
     residuals = jnp.asarray(residuals, jnp.float32)
+    dq = -(-d // m) * m
+    if dq != d:
+        residuals = jnp.pad(residuals, ((0, 0), (0, dq - d)))
+        d = dq
     block = min(block, max(256, n))
     eye = jnp.eye(d, dtype=jnp.float32)
 
@@ -164,6 +172,9 @@ def encode(pq: ProductQuantizer, residuals: jax.Array,
     Chunked over n so the (block, k) distance matrices stay modest.
     """
     residuals = jnp.asarray(residuals, jnp.float32)
+    if residuals.shape[1] != pq.d:      # ragged-subspace zero padding
+        residuals = jnp.pad(
+            residuals, ((0, 0), (0, pq.d - residuals.shape[1])))
     n = residuals.shape[0]
     apply_rot = pq.method == "opq"
     outs = []

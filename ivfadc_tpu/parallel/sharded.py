@@ -103,6 +103,9 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
             vecs = jnp.broadcast_to(q_l[:, None, :],
                                     (q_l.shape[0], w, q_l.shape[1]))
             base = jax.vmap(metric.pairwise)(q_l[:, None, :], cent)[:, 0, :]
+        dq = rot_l.shape[0]
+        if vecs.shape[-1] != dq:        # ragged-subspace zero padding
+            vecs = jnp.pad(vecs, ((0, 0), (0, 0), (0, dq - vecs.shape[-1])))
         if apply_rot:
             vecs = vecs @ rot_l
         if dense:

@@ -85,7 +85,39 @@ def test_opq_decode_applies_inverse_rotation():
     assert err_fixed <= err_buggy
 
 
-def test_m_must_divide_d():
-    with pytest.raises(AssertionError):
-        pq_ops.train_quantizer(jax.random.PRNGKey(0),
+def test_m_not_dividing_d_pads():
+    # parity with the reference's ragged rowrange splits: trains at
+    # m*ceil(d/m) with zero-padded columns instead of raising
+    q = pq_ops.train_quantizer(jax.random.PRNGKey(0),
                                jnp.asarray(_data(50, 10)), m=3, k=4)
+    assert q.d == 12 and q.dsub == 4
+
+
+def test_ragged_subspaces_m_not_dividing_d():
+    """The reference allows m that does not divide d (ragged rowrange
+    splits); here the quantizer zero-pads to m*ceil(d/m). Full build ->
+    search -> dynamic -> persistence journey at d=10, m=3."""
+    from ivfadc_tpu import IVFADCIndex
+    rng = np.random.RandomState(0)
+    data = rng.rand(500, 10).astype(np.float32)
+    for method in ("pq", "opq"):
+        idx = IVFADCIndex.build(data, kc=20, k=16, m=3, seed=1,
+                                quantization_method=method,
+                                coarse_maxiter=8, quantization_maxiter=8)
+        assert idx.quantizer.d == 12 and idx.quantizer.dsub == 4
+        ids, dists = idx.search(data[7], 3, w=5)
+        assert ids[0] == 7, (method, ids)
+        idx.push(data[0])
+        v = idx.pop()
+        assert v.shape == (10,)
+        import tempfile, os
+        with tempfile.NamedTemporaryFile(suffix=".npz", delete=False) as f:
+            path = f.name
+        try:
+            idx.save(path)
+            idx2 = IVFADCIndex.load(path)
+            a, _ = idx.search(data[7], 3, w=5)
+            b, _ = idx2.search(data[7], 3, w=5)
+            assert (a == b).all()
+        finally:
+            os.unlink(path)
