@@ -53,6 +53,12 @@ class NaiveCoarseQuantizer:
     def search(self, queries: jax.Array, w: int) -> Tuple[jax.Array, jax.Array]:
         """(B, d) queries -> (cells (B, w) int32, dists (B, w) f32). Jittable."""
         from ivfadc_tpu.ops.topk import topk_lastdim
+        if self.metric.name in ("sqeuclidean", "euclidean"):
+            # fused distances+top-w kernel: the (B, kc) matrix stays in VMEM
+            from ivfadc_tpu.ops.coarse_scan import coarse_topw
+            fused = coarse_topw(queries, self.centroids, w)
+            if fused is not None:
+                return fused
         dist = self.metric.pairwise(queries, self.centroids)    # (B, kc)
         dists, cells = topk_lastdim(dist, w)
         return cells.astype(jnp.int32), dists

@@ -87,6 +87,22 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, queries,
     queries = queries.astype(jnp.float32)
     B = queries.shape[0]
     dq = rotation.shape[0]                                    # quantizer dim
+    if (residual_based and metric.name in ("sqeuclidean", "euclidean")
+            and isinstance(cq, NaiveCoarseQuantizer)
+            and cq.metric.name in ("sqeuclidean", "euclidean")):
+        # fully fused coarse probe: cells/cdists/v/base all emitted by one
+        # Pallas kernel — XLA-level (B, w, d) gathers/elementwise run far
+        # below HBM speed on some runtimes and dominated the search
+        from ivfadc_tpu.ops.coarse_scan import coarse_probe_vbase
+        fused = coarse_probe_vbase(queries, cq.centroids, w, rotation,
+                                   apply_rot, include_base,
+                                   interpret=interpret)
+        if fused is not None:
+            cells, cdists, v, base = fused
+            return _dense_finish(cells, v, base, offsets, sizes, decoded,
+                                 ids, metric, k=k, w=w, chunk=chunk, pb=pb,
+                                 merge=merge, nf=nf, norm_coef=1.0,
+                                 interpret=interpret)
     cells, cdists = cq.search(queries, w)
     cent = cq.centroids[cells]
     if residual_based:
@@ -108,10 +124,20 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, queries,
         v = jnp.broadcast_to(-q[:, None, :], (B, w, q.shape[-1]))
         base = jax.vmap(metric.pairwise)(queries[:, None, :], cent)[:, 0, :]
         norm_coef = 0.0
+    return _dense_finish(cells, v, base, offsets, sizes, decoded, ids,
+                         metric, k=k, w=w, chunk=chunk, pb=pb, merge=merge,
+                         nf=nf, norm_coef=norm_coef, interpret=interpret)
+
+
+def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, metric, *,
+                  k, w, chunk, pb, merge, nf, norm_coef, interpret):
+    """Engine selection + scan + global merge (shared by the fused and
+    unfused coarse paths of `_dense_search_impl`)."""
+    from ivfadc_tpu.ops.pallas_scan import grouped_dense_scan
+    B = cells.shape[0]
     k_out = min(k, 128)
-    B_, w_ = cells.shape
     kc_ = offsets.shape[0]
-    if B_ * w_ >= 4 * kc_:
+    if B * w >= 4 * kc_:
         # probes share cells heavily -> cell-grouped kernel amortizes DMA
         out_d, out_p = grouped_dense_scan(
             cells, offsets, sizes, v, base, decoded, kc=kc_,

@@ -287,8 +287,17 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, *, kc: int,
     T_max = P // pb + min(kc, P) + 1
 
     cells_flat = cells.reshape(-1).astype(jnp.int32)
-    order = jnp.argsort(cells_flat, stable=True).astype(jnp.int32)
-    sorted_cells = cells_flat[order]
+    # stable sort by cell via a single packed-int sort: (cell << idx_bits) |
+    # probe_idx — half the data movement of argsort's (key, iota) pair sort
+    idx_bits = max(1, (P - 1).bit_length())
+    if kc.bit_length() + idx_bits <= 31:
+        packed = (cells_flat << idx_bits) | jnp.arange(P, dtype=jnp.int32)
+        packed = jax.lax.sort(packed)
+        order = (packed & ((1 << idx_bits) - 1)).astype(jnp.int32)
+        sorted_cells = (packed >> idx_bits).astype(jnp.int32)
+    else:
+        order = jnp.argsort(cells_flat, stable=True).astype(jnp.int32)
+        sorted_cells = cells_flat[order]
     crange = jnp.arange(kc, dtype=jnp.int32)
     cell_first = jnp.searchsorted(sorted_cells, crange).astype(jnp.int32)
     cell_last = jnp.searchsorted(sorted_cells, crange,

@@ -46,20 +46,29 @@ def roundtrip_latency(samples: int = 3) -> float:
 
 def true_time(fn: Callable, reps: int = 20, warm: int = 2,
               baseline: float = None) -> float:
-    """Mean per-call wall time of `fn` (a nullary returning a pytree of
-    arrays), amortizing RPC latency across `reps` pipelined calls."""
+    """Mean per-call wall time of `fn`, amortizing RPC latency across `reps`
+    pipelined calls.
+
+    `fn` is nullary, or unary taking the rep index — PASS A UNARY `fn` THAT
+    VARIES ITS INPUT with the index whenever the computation is pure: some
+    remote runtimes memoize identical (executable, args) calls, which makes
+    repeated same-input timing read near zero.
+    """
+    import inspect
+    takes_i = len(inspect.signature(fn).parameters) >= 1
+    call = (lambda i: fn(i)) if takes_i else (lambda i: fn())
     if baseline is None:
         baseline = roundtrip_latency()
     # at least one warm call: its output also warms the _fold/_leaf_sum jits
-    for _ in range(max(warm, 1)):
-        out = fn()
+    for j in range(max(warm, 1)):
+        out = call(-1 - j)
     acc = jnp.float32(0)
     acc = _fold(acc, _leaf_sum(out))
     float(acc)
     t0 = time.perf_counter()
     acc = jnp.float32(0)
-    for _ in range(reps):
-        acc = _fold(acc, _leaf_sum(fn()))
+    for i in range(reps):
+        acc = _fold(acc, _leaf_sum(call(i)))
     float(acc)
     dt = time.perf_counter() - t0
     return max(0.0, (dt - baseline)) / reps
