@@ -2,8 +2,14 @@
 """Dynamic-workload benchmark (BASELINE.md config 4): interleaved
 push / delete / search streams against a live index.
 
-Measures sustained ops/s for each op class and verifies invariants (ids stay
-contiguous, search stays correct) under churn. Prints one JSON line.
+Two regimes:
+  * batched (the TPU-native serving pattern): rounds of push_batch /
+    vectorized delete / batched search — reports points/s, deletes/s, QPS;
+  * scalar: a short sample of single push/pop/delete ops — reports per-op
+    latency (on tunneled runtimes this is RPC-RTT-bound, ~40 ms/op).
+
+Verifies invariants under churn (ids stay the contiguous range {0..n-1})
+and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -16,53 +22,76 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".cache", "jax_compile"))
 
 
 def main():
-    from ivfadc_tpu import IVFADCIndex
+    import jax
+    import jax.numpy as jnp
 
-    n = int(os.environ.get("IVFADC_BENCH_N", 100_000))
+    from ivfadc_tpu import IVFADCIndex
+    from ivfadc_tpu.utils.datasets import synthetic_clustered_device
+
+    on_accel = jax.default_backend() != "cpu"
+    n = int(os.environ.get("IVFADC_BENCH_N",
+                           100_000 if on_accel else 20_000))
     d, kc, m, kq = 128, 256, 8, 256
-    ops = int(os.environ.get("IVFADC_BENCH_OPS", 2_000))
+    rounds = int(os.environ.get("IVFADC_BENCH_ROUNDS", 10))
+    push_b, del_b, search_b = (2048, 256, 4096) if on_accel else (256, 64, 1024)
     rng = np.random.RandomState(0)
 
-    from ivfadc_tpu.utils.datasets import synthetic_clustered
-    base = synthetic_clustered(n, d, seed=0)
+    based = synthetic_clustered_device(n, d, seed=0)
     t0 = time.time()
-    idx = IVFADCIndex.build(base, kc=kc, k=kq, m=m, seed=0,
+    idx = IVFADCIndex.build(based, kc=kc, k=kq, m=m, seed=0,
                             kmeanspp_sample=min(n, 32768))
     build_s = time.time() - t0
 
-    timings = {"push": 0.0, "delete": 0.0, "search": 0.0}
-    counts = {"push": 0, "delete": 0, "search": 0}
-    stream = rng.choice(["push", "push", "delete", "search"], ops)
-    new_points = synthetic_clustered(ops, d, seed=3)
+    key = jax.random.PRNGKey(3)
+    new_points = np.asarray(
+        synthetic_clustered_device(rounds * push_b, d, seed=3))
+    qdev = based[jax.random.randint(key, (search_b,), 0, n)]
+
+    timings = {"push_batch": 0.0, "delete": 0.0, "search": 0.0}
     t_all = time.time()
-    for i, op in enumerate(stream):
+    for r in range(rounds):
         t0 = time.time()
-        if op == "push":
-            idx.push(new_points[i])
-        elif op == "delete" and len(idx) > 1:
-            idx.delete([int(rng.randint(0, len(idx)))])
-        else:
-            op = "search"
-            idx.search_padded(new_points[i:i + 1], 10, w=8)
-        timings[op] += time.time() - t0
-        counts[op] += 1
+        idx.push_batch(new_points[r * push_b:(r + 1) * push_b])
+        timings["push_batch"] += time.time() - t0
+        t0 = time.time()
+        idx.delete(rng.choice(len(idx), del_b, replace=False))
+        timings["delete"] += time.time() - t0
+        t0 = time.time()
+        ids, dists = idx.search_padded(qdev, 10, w=8)
+        _ = float(np.asarray(dists[0, 0]))     # force completion
+        timings["search"] += time.time() - t0
     total_s = time.time() - t_all
 
-    # invariant: live ids are exactly {0..n-1}
+    # invariant: live ids are exactly {0..n'-1}
     live = np.sort(idx.store.ids[idx.store.ids >= 0])
     assert np.array_equal(live, np.arange(len(idx))), "id contiguity broken"
 
+    # scalar-op latency sample
+    t0 = time.time()
+    n_scalar = 10
+    for i in range(n_scalar):
+        idx.push(new_points[i])
+    for i in range(n_scalar):
+        idx.pop()
+    scalar_ms = (time.time() - t0) / (2 * n_scalar) * 1e3
+
     result = {
-        "metric": "dynamic workload ops/s (interleaved push/delete/search)",
-        "value": round(ops / total_s, 1),
+        "metric": "dynamic workload (batched push/delete/search rounds)",
+        "value": round(rounds * (push_b + del_b + search_b) / total_s, 1),
         "unit": "ops/s",
-        "n": n, "ops": ops,
-        "push_ops_s": round(counts["push"] / max(timings["push"], 1e-9), 1),
-        "delete_ops_s": round(counts["delete"] / max(timings["delete"], 1e-9), 1),
-        "search_ops_s": round(counts["search"] / max(timings["search"], 1e-9), 1),
+        "n": n, "rounds": rounds,
+        "push_points_s": round(rounds * push_b / max(timings["push_batch"],
+                                                     1e-9), 1),
+        "delete_ids_s": round(rounds * del_b / max(timings["delete"], 1e-9), 1),
+        "search_qps": round(rounds * search_b / max(timings["search"], 1e-9), 1),
+        "scalar_op_ms": round(scalar_ms, 1),
         "build_seconds": round(build_s, 1),
     }
     print(json.dumps(result))

@@ -34,33 +34,33 @@ def main():
         n = int(os.environ.get("IVFADC_BENCH_N", 1_000_000 if on_accel else 100_000))
     kc = int(os.environ.get("IVFADC_BENCH_KC", 1024))
     nq = int(os.environ.get("IVFADC_BENCH_NQ", 1_000))
-    batch = int(os.environ.get("IVFADC_BENCH_BATCH", 1024))
+    batch = int(os.environ.get("IVFADC_BENCH_BATCH",
+                               16384 if on_accel else 1024))
     topk = 10
 
-    base = synthetic_clustered(n, d, seed=0)
-    rng = np.random.RandomState(1)
-    queries = base[rng.choice(n, nq, replace=True)] + \
-        0.05 * rng.randn(nq, d).astype(np.float32)
-
-    idx = IVFADCIndex.build(base, kc=kc, k=256, m=m, seed=0,
-                            kmeanspp_sample=min(n, 65536))
-    _, gt_i = brute_force_topk(base, queries, topk)
-
     import jax.numpy as jnp
-    qdev = jnp.asarray(queries)
+    from ivfadc_tpu.utils.datasets import synthetic_clustered_device
+    from ivfadc_tpu.utils.timing import roundtrip_latency, true_time
+
+    based = synthetic_clustered_device(n, d, seed=0)
+    key = jax.random.PRNGKey(1)
+    kq_, kn_ = jax.random.split(key)
+    qdev = based[jax.random.randint(kq_, (max(nq, batch),), 0, n)] + \
+        0.05 * jax.random.normal(kn_, (max(nq, batch), d), jnp.float32)
+    queries = np.asarray(qdev[:nq])
+
+    idx = IVFADCIndex.build(based, kc=kc, k=256, m=m, seed=0,
+                            kmeanspp_sample=min(n, 65536))
+    _, gt_i = brute_force_topk(based, qdev[:nq], topk)
+    bl = roundtrip_latency()
     for nprobe in (1, 2, 4, 8, 16, 32, 64):
         ids, _ = idx.search_padded(queries, topk, w=nprobe)
         rec = recall_at_r(ids, gt_i, topk)
-        # timed pass
-        idx._device_search(qdev[:batch], topk, nprobe)  # warm
-        t0 = time.time()
-        reps = 0
-        while time.time() - t0 < 2.0:
-            for s in range(0, nq - batch + 1, batch):
-                jax.block_until_ready(
-                    idx._device_search(qdev[s:s + batch], topk, nprobe))
-            reps += 1
-        qps = reps * (nq // batch) * batch / (time.time() - t0)
+        t = true_time(
+            lambda i: idx._device_search(qdev[:batch] + 1e-6 * i,
+                                         topk, nprobe),
+            reps=10, warm=2, baseline=bl)
+        qps = batch / t
         print(json.dumps({"config": cfg_name, "n": n, "d": d, "m": m,
                           "kc": kc, "nprobe": nprobe,
                           "recall_at_10": round(rec, 4),

@@ -512,6 +512,10 @@ class IVFADCIndex:
             cell, slot = self.store.find(target)
             self.store.remove_slot(cell, slot)
             self.store.shift_ids(target, -1)
+        elif id_list.size <= 2048:
+            # small batch: swap-removes + one device-side rank shift —
+            # avoids rebuilding/re-decoding the whole device cache
+            self.store.delete_ids_incremental(id_list)
         else:
             self.store.delete_ids(id_list)
 

@@ -61,6 +61,7 @@ class PostingStore:
         self._ids_dev = ids_dev
         self._device: Optional[Dict] = None
         self._device_dense: Optional[Dict] = None
+        self._dirty_slots: set = set()
 
     # ---- host views (hydrate lazily; mutation drops the build-time device
     # arrays so later device views rebuild from host truth) ----
@@ -170,31 +171,57 @@ class PostingStore:
     def _invalidate(self):
         self._device = None
         self._device_dense = None
+        self._dirty_slots = set()
 
-    # Incremental device-cache maintenance: dynamic ops patch the cached
-    # device arrays in place (functional .at updates) instead of forcing a
-    # full re-upload / re-decode — O(1) device work per op, which is what
-    # makes interleaved push/delete/search workloads viable at scale.
+    # Incremental device-cache maintenance: dynamic ops record dirty slots;
+    # the next device_view() flushes them as ONE batched scatter from host
+    # truth. (Eagerly patching per op costs a full functional-update array
+    # copy + an RPC round trip per slot — interleaved push/search workloads
+    # were measured at <100 ops/s on a tunneled runtime that way.)
+    _DIRTY_LIMIT = 8192   # beyond this a full rebuild is cheaper
+
     def _dev_set_slot(self, slot: int, code_row, ext_id: int,
                       cell: int) -> None:
+        if self._device is None and self._device_dense is None:
+            return
+        dirty = getattr(self, "_dirty_slots", None)
+        if dirty is None:
+            dirty = self._dirty_slots = set()
+        dirty.add(slot)
+        if len(dirty) > self._DIRTY_LIMIT:
+            self._invalidate()
+
+    def _flush_dirty(self) -> None:
+        dirty = getattr(self, "_dirty_slots", None)
+        if not dirty:
+            return
+        import jax.numpy as jnp
+        slots = np.fromiter(dirty, np.int64, len(dirty))
+        slots.sort()
+        sl = jnp.asarray(slots, jnp.int32)
         if self._device is not None:
             d = self._device
-            d["codes"] = d["codes"].at[slot].set(code_row)
-            d["ids"] = d["ids"].at[slot].set(int(ext_id))
-            d["sizes"] = d["sizes"].at[cell].set(int(self.sizes[cell]))
+            d["codes"] = d["codes"].at[sl].set(
+                jnp.asarray(self.codes[slots]), unique_indices=True)
+            d["ids"] = d["ids"].at[sl].set(
+                jnp.asarray(self.ids[slots], jnp.int32), unique_indices=True)
+            d["sizes"] = jnp.asarray(self.sizes, jnp.int32)
         if self._device_dense is not None:
             from ivfadc_tpu.ops import pq as pq_ops
             dd = self._device_dense
-            if ext_id >= 0:
-                import jax.numpy as jnp
-                row = pq_ops.decode_rotated(
-                    self._dense_quantizer, np.asarray(code_row)[None, :])[0]
-                d_pad = dd["decoded"].shape[1] - row.shape[0]
-                if d_pad:
-                    row = jnp.pad(row, (0, d_pad))
-                dd["decoded"] = dd["decoded"].at[slot].set(row)
-            dd["ids"] = dd["ids"].at[slot].set(int(ext_id))
-            dd["sizes"] = dd["sizes"].at[cell].set(int(self.sizes[cell]))
+            rows = pq_ops.decode_rotated(self._dense_quantizer,
+                                         self.codes[slots])
+            d_pad = dd["decoded"].shape[1] - rows.shape[1]
+            if d_pad:
+                rows = jnp.pad(rows, ((0, 0), (0, d_pad)))
+            live = jnp.asarray(self.ids[slots] >= 0)[:, None]
+            rows = jnp.where(live, rows, 0)
+            dd["decoded"] = dd["decoded"].at[sl].set(rows.astype(jnp.bfloat16),
+                                                     unique_indices=True)
+            dd["ids"] = dd["ids"].at[sl].set(
+                jnp.asarray(self.ids[slots], jnp.int32), unique_indices=True)
+            dd["sizes"] = jnp.asarray(self.sizes, jnp.int32)
+        self._dirty_slots = set()
 
     def _dev_shift_ids(self, threshold: int, delta: int) -> None:
         for view in (self._device, self._device_dense):
@@ -268,6 +295,44 @@ class PostingStore:
         self.ids[mask] += delta
         self._dev_shift_ids(threshold, delta)
 
+    def delete_ids_incremental(self, dels: np.ndarray) -> int:
+        """Small-batch delete that keeps the device caches patchable:
+        swap-remove each hit posting (descending slot order per cell, so a
+        moved last-row that is itself deleted is still pending), then
+        renumber ids by rank-subtract — host side vectorized, device side
+        one searchsorted op. Same observable semantics as `delete_ids`."""
+        hit = np.isin(self.ids, dels) & (self.ids >= 0)
+        hit_slots = np.nonzero(hit)[0]
+        if hit_slots.size != dels.size:
+            missing = np.setdiff1d(dels, self.ids[hit_slots])
+            raise KeyError(f"ids not in index: {missing[:10].tolist()}")
+        cells = np.searchsorted(self.offsets, hit_slots, side="right") - 1
+        for cell in np.unique(cells):
+            slots = hit_slots[cells == cell]
+            for slot in np.sort(slots)[::-1]:
+                # the row may have been moved by a previous swap in this
+                # cell; only remove if it still holds a deleted id
+                if self.ids[slot] >= 0 and \
+                        np.searchsorted(dels, self.ids[slot]) < dels.size \
+                        and dels[np.searchsorted(dels, self.ids[slot])] == \
+                        self.ids[slot]:
+                    self.remove_slot(int(cell), int(slot))
+        live = self.ids >= 0
+        self.ids[live] -= np.searchsorted(dels, self.ids[live])
+        self._dev_rank_shift(dels)
+        return int(dels.size)
+
+    def _dev_rank_shift(self, dels: np.ndarray) -> None:
+        """Device-side id renumbering after a batch delete: each live id
+        drops by the count of deleted ids below it."""
+        import jax.numpy as jnp
+        dels_d = jnp.asarray(dels, jnp.int32)
+        for view in (self._device, self._device_dense):
+            if view is not None:
+                ids = view["ids"]
+                view["ids"] = jnp.where(
+                    ids >= 0, ids - jnp.searchsorted(dels_d, ids), ids)
+
     def delete_ids(self, ext_ids: np.ndarray) -> int:
         """Batch delete + positional re-numbering: every surviving id drops by
         the number of deleted ids below it (reference semantics,
@@ -298,14 +363,26 @@ class PostingStore:
         return int(dels.size)
 
     # ---------------------------------------------------------------- device
+    def _bucket_rows(self, rows: int) -> int:
+        """Pad device-array row counts to coarse buckets so cell growth
+        (which changes total capacity) rarely changes traced shapes — a
+        shape change forces a jit recompile of the search program."""
+        b = 65536 if rows > 65536 else 1024
+        return _round_up(rows, b)
+
     def device_view(self) -> Dict:
         """Cached jnp arrays for the jitted LUT search path."""
+        self._flush_dirty()
         if self._device is None:
             import jax.numpy as jnp
             codes = self._codes_dev if self._codes_dev is not None \
                 else jnp.asarray(self.codes)
             ids = self._ids_dev if self._ids_dev is not None \
                 else jnp.asarray(self.ids, jnp.int32)
+            pad = self._bucket_rows(codes.shape[0]) - codes.shape[0]
+            if pad:
+                codes = jnp.pad(codes, ((0, pad), (0, 0)))
+                ids = jnp.pad(ids, (0, pad), constant_values=-1)
             self._device = dict(
                 offsets=jnp.asarray(self.offsets, jnp.int32),
                 sizes=jnp.asarray(self.sizes, jnp.int32),
@@ -322,13 +399,15 @@ class PostingStore:
         zero features change neither dot products nor norms). Rebuilt lazily
         after any mutation (the PQ codes remain the source of truth)."""
         self._dense_quantizer = quantizer
+        self._flush_dirty()
         if self._device_dense is None:
             import jax.numpy as jnp
             from ivfadc_tpu.ops import pq as pq_ops
             src_codes = self._codes_dev if self._codes_dev is not None \
                 else self.codes
             decoded = pq_ops.decode_rotated(quantizer, src_codes)
-            guard = chunk + _LANE
+            total = decoded.shape[0]
+            guard = self._bucket_rows(total + chunk + _LANE) - total
             d_pad = _round_up(decoded.shape[1], _LANE) - decoded.shape[1]
             decoded = jnp.pad(decoded, ((0, guard), (0, d_pad)))
             if self._ids_dev is not None:

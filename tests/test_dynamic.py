@@ -195,3 +195,24 @@ def test_cell_growth_on_overflowing_pushes(random_data):
     assert len(idx) == n0 + 60
     ids, _ = idx.search(target, 5, w=4)
     assert len(ids) == 5 and (np.asarray(ids) >= n0).all()
+
+
+def test_device_cache_consistency_under_churn(random_data):
+    """Interleaved push/delete/search: results served from the patched
+    device caches must equal results after a full cache rebuild (the
+    dirty-slot flush and rank-shift must agree with host truth)."""
+    from tests.conftest import build_random_index
+    rng = np.random.RandomState(9)
+    idx = build_random_index(random_data)
+    q = np.asarray(random_data[:16], np.float32)
+    idx.search_padded(q, 5, w=6)                   # materialize caches
+    for r in range(3):
+        idx.push_batch(rng.rand(20, 10).astype(np.float32))
+        idx.delete(rng.choice(len(idx), 7, replace=False))
+        idx.push(rng.rand(10).astype(np.float32))
+        idx.pop_front()
+        ids_patched, d_patched = idx.search_padded(q, 5, w=6)
+        idx.store._invalidate()                    # force full rebuild
+        ids_fresh, d_fresh = idx.search_padded(q, 5, w=6)
+        np.testing.assert_array_equal(ids_patched, ids_fresh)
+        np.testing.assert_allclose(d_patched, d_fresh, rtol=1e-5)

@@ -72,3 +72,23 @@ def test_config_defaults_match_reference():
     assert c.quantization_metric == "sqeuclidean"
     assert c.coarse_maxiter == 25 and c.quantization_maxiter == 25
     assert c.index_dtype == "uint32"   # src/index.jl:114
+
+
+def test_two_level_group_knobs(random_data):
+    """coarse_n_groups / coarse_probe_groups config fields reach the
+    two-level quantizer."""
+    from tests.conftest import build_random_index
+    idx = build_random_index(random_data, coarse_quantizer="two_level",
+                             coarse_n_groups=5, coarse_probe_groups=2)
+    assert idx.coarse.group_centers.shape[0] == 5
+    assert idx.coarse.n_probe_groups == 2
+    ids, dists = idx.search(np.asarray(random_data[3], np.float32), 3, w=4)
+    assert len(ids) <= 3
+
+
+def test_quantization_sample_build(random_data):
+    """quantization_sample trains PQ on a subsample; search still works."""
+    from tests.conftest import build_random_index
+    idx = build_random_index(random_data, quantization_sample=100)
+    ids, _ = idx.search(np.asarray(random_data[3], np.float32), 3, w=4)
+    assert len(ids) <= 3
