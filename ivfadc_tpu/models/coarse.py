@@ -186,7 +186,11 @@ class TwoLevelCoarseQuantizer:
         flat_p = out_p.reshape(B, gp * nf)
         w_eff = min(w, gp * nf)
         dists, which = topk_lastdim(flat_d, w_eff)
-        pos = jnp.take_along_axis(flat_p, which, axis=1)
+        # fold emits per-group chunk-block indices; rebuild absolute slots
+        blk = jnp.take_along_axis(flat_p, which, axis=1).astype(jnp.int32)
+        gprobe = which // nf
+        start = jnp.take_along_axis(self.csr_offsets[gids], gprobe, axis=1)
+        pos = jnp.where(blk >= 0, start + blk * 128 + which % 128, -1)
         cells = jnp.where(pos >= 0, self.perm[jnp.where(pos >= 0, pos, 0)], 0)
         cells = jnp.where(jnp.isfinite(dists), cells, 0)
         if w_eff < w:

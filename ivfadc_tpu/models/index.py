@@ -71,14 +71,14 @@ def _search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids, queries,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "w", "chunk", "pb", "merge", "nf", "metric",
-                     "include_base", "apply_rot", "residual_based",
+    static_argnames=("k", "w", "chunk", "pb", "merge", "nf", "pos8",
+                     "metric", "include_base", "apply_rot", "residual_based",
                      "interpret"))
 def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, queries,
                        *, k: int, w: int, chunk: int, pb: int, merge: str,
-                       nf: int, metric: Metric, include_base: bool,
-                       apply_rot: bool, residual_based: bool,
-                       interpret: bool):
+                       nf: int, pos8: bool, metric: Metric,
+                       include_base: bool, apply_rot: bool,
+                       residual_based: bool, interpret: bool):
     """Pallas dense-scan search: coarse probe -> cell-grouped DMA'd matmul
     scan with on-chip top-k -> global merge. Mathematically identical scores
     to the LUT path (up to bf16 rounding): see ops/pallas_scan.py."""
@@ -102,7 +102,7 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, queries,
             return _dense_finish(cells, v, base, offsets, sizes, decoded,
                                  ids, metric, k=k, w=w, chunk=chunk, pb=pb,
                                  merge=merge, nf=nf, norm_coef=1.0,
-                                 interpret=interpret)
+                                 pos8=pos8, interpret=interpret)
     cells, cdists = cq.search(queries, w)
     cent = cq.centroids[cells]
     if residual_based:
@@ -126,11 +126,13 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, queries,
         norm_coef = 0.0
     return _dense_finish(cells, v, base, offsets, sizes, decoded, ids,
                          metric, k=k, w=w, chunk=chunk, pb=pb, merge=merge,
-                         nf=nf, norm_coef=norm_coef, interpret=interpret)
+                         nf=nf, norm_coef=norm_coef, pos8=pos8,
+                         interpret=interpret)
 
 
 def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, metric, *,
-                  k, w, chunk, pb, merge, nf, norm_coef, interpret):
+                  k, w, chunk, pb, merge, nf, norm_coef, interpret,
+                  pos8=False):
     """Engine selection + scan + global merge (shared by the fused and
     unfused coarse paths of `_dense_search_impl`)."""
     from ivfadc_tpu.ops.pallas_scan import grouped_dense_scan
@@ -142,7 +144,7 @@ def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, metric, *,
         out_d, out_p = grouped_dense_scan(
             cells, offsets, sizes, v, base, decoded, kc=kc_,
             k_out=k_out, chunk=chunk, norm_coef=norm_coef, pb=pb, merge=merge,
-            nf=nf if merge == "fold" else 128, interpret=interpret)
+            nf=nf if merge == "fold" else 128, pos8=pos8, interpret=interpret)
     else:
         # mostly-distinct cells (huge-kc regime): grouping would emit ~one
         # tile per probe with pb-1 wasted rows; scan one probe per row
@@ -150,14 +152,23 @@ def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, metric, *,
         out_d, out_p = dense_scan(
             offsets[cells], sizes[cells], v, base, decoded,
             k_out=k_out, chunk=chunk, norm_coef=norm_coef, merge=merge,
-            nf=nf if merge == "fold" else 128, interpret=interpret)
+            nf=nf if merge == "fold" else 128, pos8=pos8, interpret=interpret)
     n_cand = out_d.shape[-1]
     flat_d = out_d.reshape(B, w * n_cand)
     flat_p = out_p.reshape(B, w * n_cand)
     k_eff = min(k, w * n_cand)
     from ivfadc_tpu.ops.topk import topk_lastdim
     out_dists, which = topk_lastdim(flat_d, k_eff, interpret=interpret)
-    pos = jnp.take_along_axis(flat_p, which, axis=1)
+    sel = jnp.take_along_axis(flat_p, which, axis=1)
+    if merge == "fold":
+        # fold emits per-cell chunk-block indices: re-attach the winning
+        # probe's cell offset (only k values per query, not w*nf)
+        blk = sel.astype(jnp.int32)
+        probe = which // n_cand                           # (B, k_eff)
+        start = jnp.take_along_axis(offsets[cells], probe, axis=1)
+        pos = jnp.where(blk >= 0, start + blk * 128 + which % 128, -1)
+    else:
+        pos = sel
     out_ids = jnp.where(pos >= 0, ids[jnp.where(pos >= 0, pos, 0)], -1)
     out_ids = jnp.where(jnp.isfinite(out_dists), out_ids, -1)
     if k_eff < k:
@@ -318,6 +329,7 @@ class IVFADCIndex:
                 k=k, w=w, chunk=chunk, pb=self.config.scan_pb,
                 merge=self._resolve_merge_mode(),
                 nf=self.config.scan_fold_lanes,
+                pos8=bool(int(self.store.caps.max(initial=0)) <= 127 * 128),
                 metric=self.quant_metric, include_base=include_base,
                 apply_rot=self.quantizer.method == "opq",
                 residual_based=self.quant_metric.residual_based,

@@ -63,7 +63,7 @@ def _scan_kernel(starts_ref, sizes_ref, base_ref,   # scalar prefetch (P,)
     vdma.start()
 
     out_d_ref[...] = jnp.full((_PB, nf), jnp.inf, jnp.float32)
-    out_p_ref[...] = jnp.full((_PB, nf), -1, jnp.int32)
+    out_p_ref[...] = jnp.full((_PB, nf), -1, out_p_ref.dtype)
     kiota = jax.lax.broadcasted_iota(jnp.int32, (1, nf), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _CAND), 1)
@@ -114,6 +114,7 @@ def _scan_kernel(starts_ref, sizes_ref, base_ref,   # scalar prefetch (P,)
 
             if merge == "fold":
                 nbank = nf // _CAND
+                pdt = out_p_ref.dtype
                 run_d = out_d_ref[p].reshape(1, nf)
                 run_p = out_p_ref[p].reshape(1, nf)
                 banks_d = [jax.lax.slice_in_dim(run_d, b * _CAND,
@@ -126,10 +127,10 @@ def _scan_kernel(starts_ref, sizes_ref, base_ref,   # scalar prefetch (P,)
                     b = g % nbank
                     sub = jax.lax.slice_in_dim(
                         scores, g * _CAND, (g + 1) * _CAND, axis=1)
-                    pos = start + ci * chunk + g * _CAND + lane128
+                    blk = (ci * (chunk // _CAND) + g).astype(pdt)
                     upd = sub < banks_d[b]
                     banks_d[b] = jnp.where(upd, sub, banks_d[b])
-                    banks_p[b] = jnp.where(upd, pos, banks_p[b])
+                    banks_p[b] = jnp.where(upd, blk, banks_p[b])
                 out_d_ref[p] = jnp.concatenate(banks_d, axis=1).reshape(nf)
                 out_p_ref[p] = jnp.concatenate(banks_p, axis=1).reshape(nf)
                 return 0
@@ -180,7 +181,7 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
     d = v_ref.shape[-1]
 
     out_d_ref[...] = jnp.full((pb, nf), jnp.inf, jnp.float32)
-    out_p_ref[...] = jnp.full((pb, nf), -1, jnp.int32)
+    out_p_ref[...] = jnp.full((pb, nf), -1, out_p_ref.dtype)
     kiota = jax.lax.broadcasted_iota(jnp.int32, (1, nf), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     ones = jnp.ones((1, d), jnp.bfloat16)
@@ -218,22 +219,25 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
 
         if merge == "fold":
             # per-slot running min: candidate at chunk position g*128+l
-            # competes for slot (g*128+l) mod nf — nf/128 banks of 128 lanes;
-            # positions come for free from the iota
+            # competes for slot (g*128+l) mod nf — nf/128 banks of 128 lanes.
+            # Positions are stored as the 128-row CHUNK-BLOCK index within
+            # the cell (pos8=True: int8 — the lane is the buffer lane and
+            # the cell start is re-attached only for the final k winners),
+            # which shrinks the dominant per-tile output traffic.
             nbank = nf // _CAND
+            pdt = out_p_ref.dtype
             banks_d = [out_d_ref[:, b * _CAND:(b + 1) * _CAND]
                        for b in range(nbank)]
             banks_p = [out_p_ref[:, b * _CAND:(b + 1) * _CAND]
                        for b in range(nbank)]
-            lane128 = jax.lax.broadcasted_iota(jnp.int32, (pb, _CAND), 1)
             for g in range(chunk // _CAND):                     # static unroll
                 b = g % nbank
                 sub = jax.lax.slice_in_dim(scores, g * _CAND, (g + 1) * _CAND,
                                            axis=1)              # (pb, 128)
-                pos = start + ci * chunk + g * _CAND + lane128
+                blk = (ci * (chunk // _CAND) + g).astype(pdt)
                 upd = sub < banks_d[b]
                 banks_d[b] = jnp.where(upd, sub, banks_d[b])
-                banks_p[b] = jnp.where(upd, pos, banks_p[b])
+                banks_p[b] = jnp.where(upd, blk, banks_p[b])
             for b in range(nbank):
                 out_d_ref[:, b * _CAND:(b + 1) * _CAND] = banks_d[b]
                 out_p_ref[:, b * _CAND:(b + 1) * _CAND] = banks_p[b]
@@ -260,11 +264,11 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
 @functools.partial(
     jax.jit,
     static_argnames=("kc", "k_out", "chunk", "norm_coef", "pb", "merge",
-                     "nf", "interpret"))
+                     "nf", "pos8", "interpret"))
 def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, *, kc: int,
                        k_out: int, chunk: int, norm_coef: float = 1.0,
                        pb: int = 16, merge: str = "exact", nf: int = _CAND,
-                       interpret: bool = False):
+                       pos8: bool = False, interpret: bool = False):
     """Cell-major grouped scan. Groups the B*w probes by probed cell into
     tiles of 8, so each cell's postings are DMA'd once per tile (up to 8x
     less HBM traffic) and the MXU runs real (8, d) matmuls.
@@ -272,10 +276,16 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, *, kc: int,
     cells (B, w) i32; offsets/sizes (kc,) i32; v (B, w, d); base (B, w) f32;
     decoded (cap_pad, d_pad) bf16 with d_pad a 128-multiple >= d (v is
     zero-padded up to it here — zero features are score-neutral).
-    Returns (cand_d (B, w, nf) f32, cand_p (B, w, nf) i32) in the original
+    Returns (cand_d (B, w, nf) f32, cand_p (B, w, nf)) in the original
     probe order — same contract as `dense_scan`. nf (a 128-multiple dividing
     chunk) sets the per-probe candidate-buffer width; wider buffers cut fold
     collisions at no extra scan cost (merge="exact" requires nf=128).
+
+    Position encoding: exact merge emits absolute slot indices (i32).
+    Fold merge emits the candidate's 128-row CHUNK-BLOCK index within its
+    cell (absolute slot = cell_offset + block*128 + buffer_lane%128;
+    -1 = empty) — int8 when pos8=True (valid while every cell cap is
+    <= 128*127 rows), which shrinks the dominant per-tile output traffic.
     """
     if merge == "exact":
         assert nf == _CAND, "exact merge uses a single 128-lane buffer"
@@ -352,6 +362,7 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, *, kc: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    p_dtype = jnp.int8 if (merge == "fold" and pos8) else jnp.int32
     kernel = functools.partial(_grouped_scan_kernel, chunk=chunk, k_out=k_out,
                                norm_coef=norm_coef, pb=pb, merge=merge, nf=nf)
     out_d, out_p = pl.pallas_call(
@@ -359,7 +370,7 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, *, kc: int,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T_max * pb, nf), jnp.float32),
-            jax.ShapeDtypeStruct((T_max * pb, nf), jnp.int32),
+            jax.ShapeDtypeStruct((T_max * pb, nf), p_dtype),
         ],
         interpret=interpret,
     )(tile_start, tile_size, v_tiles, base_tiles, decoded)
@@ -377,11 +388,11 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, *, kc: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_out", "chunk", "norm_coef", "merge", "nf",
+    static_argnames=("k_out", "chunk", "norm_coef", "merge", "nf", "pos8",
                      "interpret"))
 def dense_scan(starts, sizes, v, base, decoded, *, k_out: int, chunk: int,
                norm_coef: float = 1.0, merge: str = "exact", nf: int = _CAND,
-               interpret: bool = False):
+               pos8: bool = False, interpret: bool = False):
     """Scan the probed cells, returning per-probe candidate buffers.
 
     starts/sizes (B, w) int32 — slot ranges of the probed cells
@@ -391,9 +402,11 @@ def dense_scan(starts, sizes, v, base, decoded, *, k_out: int, chunk: int,
                                      by at least `chunk` rows past any cell
 
     Returns (dists (B, w, 128) f32 with +inf padding, positions (B, w, 128)
-    i32 slot indices with -1 padding). The nf-lane buffers contain at least
+    slot positions with -1 padding). The nf-lane buffers contain at least
     the per-probe top-k_out (exact merge; fold keeps per-slot bests),
-    unsorted.
+    unsorted. Position encoding matches `grouped_dense_scan`: absolute slots
+    (i32) for exact merge; per-cell 128-row chunk-block indices for fold
+    (int8 when pos8=True).
     """
     if merge == "exact":
         assert nf == _CAND, "exact merge uses a single 128-lane buffer"
@@ -430,6 +443,7 @@ def dense_scan(starts, sizes, v, base, decoded, *, k_out: int, chunk: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    p_dtype = jnp.int8 if (merge == "fold" and pos8) else jnp.int32
     kernel = functools.partial(_scan_kernel, chunk=chunk, k_out=k_out,
                                norm_coef=norm_coef, merge=merge, nf=nf)
     out_d, out_p = pl.pallas_call(
@@ -437,7 +451,7 @@ def dense_scan(starts, sizes, v, base, decoded, *, k_out: int, chunk: int,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((P_pad, nf), jnp.float32),
-            jax.ShapeDtypeStruct((P_pad, nf), jnp.int32),
+            jax.ShapeDtypeStruct((P_pad, nf), p_dtype),
         ],
         interpret=interpret,
     )(starts_f, sizes_f, base_f, v_f, decoded)

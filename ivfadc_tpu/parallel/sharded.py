@@ -129,7 +129,15 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
             flat_d = out_d.reshape(B_l, w * n_cand)
             flat_p = out_p.reshape(B_l, w * n_cand)
             neg, which = jax.lax.top_k(-flat_d, min(k, w * n_cand))
-            pos = jnp.take_along_axis(flat_p, which, axis=1)
+            sel = jnp.take_along_axis(flat_p, which, axis=1)
+            if merge == "fold":
+                # fold emits per-cell chunk-block indices (pallas_scan.py)
+                blk = sel.astype(jnp.int32)
+                probe = which // n_cand
+                start = jnp.take_along_axis(off_l[cells], probe, axis=1)
+                pos = jnp.where(blk >= 0, start + blk * 128 + which % 128, -1)
+            else:
+                pos = sel
             loc_ids = jnp.where(pos >= 0,
                                 ids_l[jnp.where(pos >= 0, pos, 0)], -1)
             loc_d = -neg

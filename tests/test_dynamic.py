@@ -216,3 +216,20 @@ def test_device_cache_consistency_under_churn(random_data):
         ids_fresh, d_fresh = idx.search_padded(q, 5, w=6)
         np.testing.assert_array_equal(ids_patched, ids_fresh)
         np.testing.assert_allclose(d_patched, d_fresh, rtol=1e-5)
+
+
+def test_search_after_emptying_index(random_data):
+    """The reference never tests empty-index search (SURVEY §4); searching
+    after popping everything must return empty results, and the index must
+    accept new pushes afterwards."""
+    from tests.conftest import build_random_index
+    rng = np.random.RandomState(2)
+    data = rng.rand(30, 10).astype(np.float32)
+    idx = build_random_index(data, kc=5, k=8, m=2)
+    while len(idx):
+        idx.pop()
+    ids, dists = idx.search(data[0], 3, w=5)
+    assert len(ids) == 0 and len(dists) == 0
+    idx.push(data[1])
+    ids, _ = idx.search(data[1], 1, w=5)
+    assert list(ids) == [0]
