@@ -426,6 +426,27 @@ class IVFADCIndex:
         ids, dists = self._device_search(np.asarray(points), k, w)
         return np.asarray(ids), np.asarray(dists)
 
+    def search_stream(self, points, k: int, w: int = 1, *,
+                      batch: int = 16384, stats=None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Throughput-oriented search over a large query set: dispatches
+        fixed-size batches back-to-back (the device pipeline overlaps
+        compute with dispatch; nothing blocks until the final pull), then
+        returns stacked padded (N, k) results. `stats`, if given, is a
+        `utils.profiling.SearchStats` to record into."""
+        import time as _time
+        points = np.asarray(points) if not hasattr(points, "devices") \
+            else points
+        n = points.shape[0]
+        t0 = _time.perf_counter()
+        outs = [self._device_search(points[s:s + batch], k, w)
+                for s in range(0, n, batch)]
+        ids = np.concatenate([np.asarray(i) for i, _ in outs])
+        dists = np.concatenate([np.asarray(d) for _, d in outs])
+        if stats is not None:
+            stats.record(n, _time.perf_counter() - t0)
+        return ids, dists
+
     # ------------------------------------------------------------ dynamic ops
     def _encode_point(self, point: np.ndarray) -> Tuple[int, np.ndarray]:
         """Nearest cell + PQ codes (reference `_encode_point`,

@@ -219,6 +219,12 @@ class ShardedIVFADCIndex:
         self.coarse = jax.tree_util.tree_map(
             lambda a: jax.device_put(np.asarray(a), repl), index.coarse)
 
+    def refresh(self) -> None:
+        """Re-partition and re-upload the shard arrays from the base index —
+        call after dynamic ops (push/delete) on the underlying IVFADCIndex;
+        the sharded view is otherwise a build-time snapshot."""
+        self.__init__(self.index, self.mesh)
+
     def search_padded(self, queries: np.ndarray, k: int, w: int = 1
                       ) -> Tuple[np.ndarray, np.ndarray]:
         if k < 1:

@@ -130,3 +130,17 @@ def test_metrics_inner_product_and_euclidean():
     ids3, d3 = i3.search(q, 10, w=8)
     true_best = (base @ q).argmax()
     assert true_best in set(ids3.tolist())
+
+
+def test_search_stream_matches_padded(random_data):
+    """search_stream == per-batch search_padded stacked; SearchStats records."""
+    from tests.conftest import build_random_index
+    from ivfadc_tpu.utils.profiling import SearchStats
+    idx = build_random_index(random_data)
+    q = np.asarray(random_data[:40], np.float32)
+    stats = SearchStats()
+    ids_s, d_s = idx.search_stream(q, 5, w=6, batch=16, stats=stats)
+    ids_p, d_p = idx.search_padded(q, 5, w=6)
+    np.testing.assert_array_equal(ids_s, ids_p)
+    np.testing.assert_allclose(d_s, d_p, rtol=1e-6)
+    assert stats.queries == 40 and stats.qps > 0

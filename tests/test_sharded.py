@@ -118,3 +118,22 @@ def test_sharded_dense_scan_matches_single_chip(base_index):
     assert np.mean(same) == 1.0
     np.testing.assert_allclose(np.sort(d_s, 1), np.sort(d_1, 1),
                                rtol=2e-2, atol=1e-2)
+
+
+def test_sharded_refresh_after_dynamic_ops(random_data):
+    """ShardedIVFADCIndex.refresh() re-snapshots the base index after
+    push/delete; results must equal the single-chip index afterwards."""
+    from tests.conftest import build_random_index
+    from ivfadc_tpu.parallel.mesh import make_mesh
+    from ivfadc_tpu.parallel.sharded import ShardedIVFADCIndex
+    rng = np.random.RandomState(5)
+    idx = build_random_index(random_data)
+    sidx = ShardedIVFADCIndex(idx, make_mesh(n_shards=4, n_data=2))
+    q = np.asarray(random_data[:8], np.float32)
+    idx.push_batch(rng.rand(12, 10).astype(np.float32))
+    idx.delete([0, 3, 5])
+    sidx.refresh()
+    ids_s, _ = sidx.search_padded(q, 5, w=6)
+    ids_1, _ = idx.search_padded(q, 5, w=6)
+    for a, b in zip(ids_s, ids_1):
+        assert set(a[a >= 0]) == set(b[b >= 0])
