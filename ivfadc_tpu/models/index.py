@@ -422,8 +422,11 @@ class IVFADCIndex:
     def search_padded(self, points: np.ndarray, k: int, w: int = 1
                       ) -> Tuple[np.ndarray, np.ndarray]:
         """TPU-native batch search: fixed (B, k) outputs, -1/-inf padding.
-        No host-side trimming — use this for throughput benchmarking."""
-        ids, dists = self._device_search(np.asarray(points), k, w)
+        No host-side trimming — use this for throughput benchmarking.
+        Device-resident query arrays pass through without a host round trip."""
+        if not hasattr(points, "devices"):        # np/posix input
+            points = np.asarray(points)
+        ids, dists = self._device_search(points, k, w)
         return np.asarray(ids), np.asarray(dists)
 
     def search_stream(self, points, k: int, w: int = 1, *,
@@ -438,6 +441,8 @@ class IVFADCIndex:
         points = np.asarray(points) if not hasattr(points, "devices") \
             else points
         n = points.shape[0]
+        if n == 0:
+            return (np.empty((0, k), np.int32), np.empty((0, k), np.float32))
         t0 = _time.perf_counter()
         outs = [self._device_search(points[s:s + batch], k, w)
                 for s in range(0, n, batch)]

@@ -180,8 +180,7 @@ class PostingStore:
     # were measured at <100 ops/s on a tunneled runtime that way.)
     _DIRTY_LIMIT = 8192   # beyond this a full rebuild is cheaper
 
-    def _dev_set_slot(self, slot: int, code_row, ext_id: int,
-                      cell: int) -> None:
+    def _mark_dirty(self, slot: int) -> None:
         if self._device is None and self._device_dense is None:
             return
         dirty = getattr(self, "_dirty_slots", None)
@@ -237,7 +236,7 @@ class PostingStore:
         self.codes[slot] = code_row
         self.ids[slot] = ext_id
         self.sizes[cell] += 1
-        self._dev_set_slot(slot, code_row, ext_id, cell)
+        self._mark_dirty(slot)
 
     def _grow_cell(self, cell: int) -> None:
         new_caps = self.caps.copy()
@@ -282,8 +281,8 @@ class PostingStore:
         self.ids[last] = -1
         self.sizes[cell] -= 1
         if slot != last:
-            self._dev_set_slot(slot, moved_code, moved_id, cell)
-        self._dev_set_slot(last, np.zeros(self.m, self.code_dtype), -1, cell)
+            self._mark_dirty(slot)
+        self._mark_dirty(last)
         return code
 
     def shift_ids(self, threshold: int, delta: int) -> None:
@@ -301,6 +300,7 @@ class PostingStore:
         moved last-row that is itself deleted is still pending), then
         renumber ids by rank-subtract — host side vectorized, device side
         one searchsorted op. Same observable semantics as `delete_ids`."""
+        dels = np.unique(np.asarray(dels, np.int64))   # rank math needs sorted
         hit = np.isin(self.ids, dels) & (self.ids >= 0)
         hit_slots = np.nonzero(hit)[0]
         if hit_slots.size != dels.size:

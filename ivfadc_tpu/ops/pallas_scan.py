@@ -66,7 +66,6 @@ def _scan_kernel(starts_ref, sizes_ref, base_ref,   # scalar prefetch (P,)
     out_p_ref[...] = jnp.full((_PB, nf), -1, out_p_ref.dtype)
     kiota = jax.lax.broadcasted_iota(jnp.int32, (1, nf), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _CAND), 1)
     ones = jnp.ones((1, d), jnp.bfloat16)
     contract_last = (((1,), (1,)), ((), ()))  # (1,d) x (chunk,d) -> (1,chunk)
 
@@ -443,7 +442,10 @@ def dense_scan(starts, sizes, v, base, decoded, *, k_out: int, chunk: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    p_dtype = jnp.int8 if (merge == "fold" and pos8) else jnp.int32
+    # int8 outputs would give (8, nf) blocks below Mosaic's (32, 128) int8
+    # tile — this kernel keeps i32 positions (still chunk-block encoded)
+    del pos8
+    p_dtype = jnp.int32
     kernel = functools.partial(_scan_kernel, chunk=chunk, k_out=k_out,
                                norm_coef=norm_coef, merge=merge, nf=nf)
     out_d, out_p = pl.pallas_call(
