@@ -1,0 +1,64 @@
+"""Search-semantics parity with the reference algorithm.
+
+benchmarks/oracle.py reimplements the reference's exact knn_search
+(/root/reference/src/index.jl:204-258) in NumPy. Running it against the SAME
+trained index state isolates search semantics: the TPU path must return the
+same neighbors (and the same "coarse_dist + sum(table)" scores) up to f32
+rounding and tie order.
+"""
+
+import sys
+import os
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from benchmarks.oracle import ReferenceOracle
+from ivfadc_tpu import IVFADCIndex
+
+
+@pytest.mark.parametrize("scan_mode", ["lut", "dense"])
+def test_search_matches_reference_oracle(scan_mode):
+    rng = np.random.RandomState(0)
+    centers = rng.randn(32, 16).astype(np.float32) * 3
+    data = np.concatenate(
+        [c + rng.randn(40, 16).astype(np.float32) for c in centers])
+    idx = IVFADCIndex.build(data, kc=32, k=16, m=4, seed=0,
+                            coarse_maxiter=8, quantization_maxiter=8,
+                            scan_mode=scan_mode)
+    oracle = ReferenceOracle.from_index(idx)
+    queries = data[rng.choice(len(data), 24)] + \
+        0.05 * rng.randn(24, 16).astype(np.float32)
+    for w in (1, 4, 8):
+        ours_i, ours_d = idx.search(queries, 10, w=w)
+        for q, oi, od in zip(queries, ours_i, ours_d):
+            ri, rd = oracle.search(q, 10, w)
+            # ids must agree except for f32-rounding ties at the k-th
+            # boundary: every neighbor either appears in the oracle's set or
+            # scores within tolerance of the oracle's k-th distance
+            kth = rd[-1]
+            tol = 1e-3 * max(1.0, abs(float(kth)))
+            for cand, cd in zip(oi.tolist(), od.tolist()):
+                assert cand in set(ri.tolist()) or abs(cd - kth) <= tol, \
+                    (w, cand, cd, kth)
+            np.testing.assert_allclose(np.sort(od), np.sort(rd),
+                                       rtol=2e-3, atol=1e-3)
+
+
+def test_reconstruct_matches_oracle_decode():
+    """pop() reconstruction = centroid + decoded residual, identical to
+    doing it by hand from the stored arrays."""
+    rng = np.random.RandomState(1)
+    data = rng.rand(200, 12).astype(np.float32)
+    idx = IVFADCIndex.build(data, kc=10, k=8, m=3, seed=2,
+                            coarse_maxiter=6, quantization_maxiter=6)
+    ext = 137
+    cell, slot = idx.store.find(ext)
+    codes = idx.store.codes[slot]
+    cb = np.asarray(idx.quantizer.codebooks)          # (m, k, dsub)
+    manual = np.concatenate([cb[j, codes[j]] for j in range(cb.shape[0])])
+    recon = idx.reconstruct(ext)
+    centroid = np.asarray(idx.coarse.centroids[cell])
+    np.testing.assert_allclose(recon, centroid + manual[:12], rtol=1e-5)
