@@ -104,7 +104,7 @@ def main():
             kc=args.kc, k_out=k_out or min(k, 128), chunk=ch or chunk,
             norm_coef=1.0, pb=pb or idx.config.scan_pb, interpret=interp)
 
-    t = timeit(run)
+    t = timeit(lambda: run())
     print(f"grouped scan (pb={idx.config.scan_pb}, chunk={chunk}, "
           f"k_out={min(k,128)}): {t*1e3:8.2f} ms")
 
@@ -189,6 +189,8 @@ def main():
                 pl.BlockSpec((pb, 1), lambda t, *_: (t, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((8, d_), lambda t, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((pb, 128), lambda t, *_: (t, 0),
@@ -210,7 +212,8 @@ def main():
                 jax.ShapeDtypeStruct((T_max * pb, 128), jnp.int32),
             ],
             interpret=interp,
-        )(tile_start, tile_size, v_tiles, base_tiles, decoded)
+        )(tile_start, tile_size, v_tiles, base_tiles, decoded,
+          jnp.ones((8, d_), jnp.bfloat16))
 
     try:
         t = timeit(lambda: kernel_stage(
@@ -251,12 +254,12 @@ def main():
         for pb in (8, 16, 32, 64):
             for ch in (512, 1024, 2048):
                 try:
-                    t = timeit(functools.partial(run, pb=pb, ch=ch), reps=5)
+                    t = timeit(lambda: run(pb=pb, ch=ch), reps=5)
                     print(f"  pb={pb:3d} chunk={ch:5d}: {t*1e3:8.2f} ms")
                 except Exception as e:
                     print(f"  pb={pb:3d} chunk={ch:5d}: FAIL {type(e).__name__}")
         for k_out in (1, 4, 10, 32):
-            t = timeit(functools.partial(run, k_out=k_out), reps=5)
+            t = timeit(lambda: run(k_out=k_out), reps=5)
             print(f"  k_out={k_out:3d}: {t*1e3:8.2f} ms")
 
 

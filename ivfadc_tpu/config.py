@@ -111,6 +111,12 @@ class IVFADCConfig:
                                     # HBM writes — measured recall delta at
                                     # 128 vs exact merge is noise-level
                                     # (SIFT1M-shape, k=10, ~1.2k-posting cells)
+    scan_cache: str = "auto"        # decoded-residual cache dtype for the
+                                    # dense scan: "bf16" (2 B/dim) or "int8"
+                                    # (1 B/dim + per-column scale — halves
+                                    # the DMA traffic that bounds the scan;
+                                    # quantization error is the same order
+                                    # as bf16 rounding); "auto": int8
     scan_merge: str = "auto"        # in-kernel candidate upkeep:
                                     # "exact": k min-extract passes per chunk
                                     #   (true per-probe top-k);
@@ -136,6 +142,9 @@ class IVFADCConfig:
             raise ValueError(f"score_mode must be 'reference' or 'pure', got {self.score_mode!r}")
         if self.scan_mode not in ("auto", "dense", "lut"):
             raise ValueError(f"scan_mode must be 'auto', 'dense' or 'lut', got {self.scan_mode!r}")
+        if self.scan_cache not in ("auto", "bf16", "int8"):
+            raise ValueError(f"scan_cache must be 'auto', 'bf16' or 'int8', "
+                             f"got {self.scan_cache!r}")
         if self.scan_merge not in ("auto", "exact", "fold"):
             raise ValueError(f"scan_merge must be 'auto', 'exact' or 'fold', "
                              f"got {self.scan_merge!r}")

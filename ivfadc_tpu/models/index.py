@@ -74,7 +74,8 @@ def _search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids, queries,
     static_argnames=("k", "w", "chunk", "pb", "merge", "nf", "pos8",
                      "metric", "include_base", "apply_rot", "residual_based",
                      "interpret"))
-def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, queries,
+def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, dscale,
+                       ids2d, queries,
                        *, k: int, w: int, chunk: int, pb: int, merge: str,
                        nf: int, pos8: bool, metric: Metric,
                        include_base: bool, apply_rot: bool,
@@ -100,8 +101,9 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, queries,
         if fused is not None:
             cells, cdists, v, base = fused
             return _dense_finish(cells, v, base, offsets, sizes, decoded,
-                                 ids, metric, k=k, w=w, chunk=chunk, pb=pb,
-                                 merge=merge, nf=nf, norm_coef=1.0,
+                                 ids, dscale, ids2d, metric, k=k, w=w,
+                                 chunk=chunk,
+                                 pb=pb, merge=merge, nf=nf, norm_coef=1.0,
                                  pos8=pos8, interpret=interpret)
     cells, cdists = cq.search(queries, w)
     cent = cq.centroids[cells]
@@ -125,12 +127,13 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, queries,
         base = jax.vmap(metric.pairwise)(queries[:, None, :], cent)[:, 0, :]
         norm_coef = 0.0
     return _dense_finish(cells, v, base, offsets, sizes, decoded, ids,
-                         metric, k=k, w=w, chunk=chunk, pb=pb, merge=merge,
-                         nf=nf, norm_coef=norm_coef, pos8=pos8,
+                         dscale, ids2d, metric, k=k, w=w, chunk=chunk, pb=pb,
+                         merge=merge, nf=nf, norm_coef=norm_coef, pos8=pos8,
                          interpret=interpret)
 
 
-def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, metric, *,
+def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, dscale,
+                  ids2d, metric, *,
                   k, w, chunk, pb, merge, nf, norm_coef, interpret,
                   pos8=False):
     """Engine selection + scan + global merge (shared by the fused and
@@ -139,10 +142,13 @@ def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, metric, *,
     B = cells.shape[0]
     k_out = min(k, 128)
     kc_ = offsets.shape[0]
-    if B * w >= 4 * kc_:
+    grouped = B * w >= 4 * kc_
+    emit_ids = grouped and merge == "fold" and ids2d is not None
+    if grouped:
         # probes share cells heavily -> cell-grouped kernel amortizes DMA
         out_d, out_p = grouped_dense_scan(
-            cells, offsets, sizes, v, base, decoded, kc=kc_,
+            cells, offsets, sizes, v, base, decoded, dscale,
+            ids2d if emit_ids else None, kc=kc_,
             k_out=k_out, chunk=chunk, norm_coef=norm_coef, pb=pb, merge=merge,
             nf=nf if merge == "fold" else 128, pos8=pos8, interpret=interpret)
     else:
@@ -150,7 +156,7 @@ def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, metric, *,
         # tile per probe with pb-1 wasted rows; scan one probe per row
         from ivfadc_tpu.ops.pallas_scan import dense_scan
         out_d, out_p = dense_scan(
-            offsets[cells], sizes[cells], v, base, decoded,
+            offsets[cells], sizes[cells], v, base, decoded, dscale,
             k_out=k_out, chunk=chunk, norm_coef=norm_coef, merge=merge,
             nf=nf if merge == "fold" else 128, pos8=pos8, interpret=interpret)
     n_cand = out_d.shape[-1]
@@ -160,16 +166,20 @@ def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, metric, *,
     from ivfadc_tpu.ops.topk import topk_lastdim
     out_dists, which = topk_lastdim(flat_d, k_eff, interpret=interpret)
     sel = jnp.take_along_axis(flat_p, which, axis=1)
-    if merge == "fold":
-        # fold emits per-cell chunk-block indices: re-attach the winning
-        # probe's cell offset (only k values per query, not w*nf)
-        blk = sel.astype(jnp.int32)
-        probe = which // n_cand                           # (B, k_eff)
-        start = jnp.take_along_axis(offsets[cells], probe, axis=1)
-        pos = jnp.where(blk >= 0, start + blk * 128 + which % 128, -1)
+    if emit_ids:
+        # the kernel already emitted external ids as the candidate payload
+        out_ids = sel
     else:
-        pos = sel
-    out_ids = jnp.where(pos >= 0, ids[jnp.where(pos >= 0, pos, 0)], -1)
+        if merge == "fold":
+            # fold emits per-cell chunk-block indices: re-attach the winning
+            # probe's cell offset (only k values per query, not w*nf)
+            blk = sel.astype(jnp.int32)
+            probe = which // n_cand                       # (B, k_eff)
+            start = jnp.take_along_axis(offsets[cells], probe, axis=1)
+            pos = jnp.where(blk >= 0, start + blk * 128 + which % 128, -1)
+        else:
+            pos = sel
+        out_ids = jnp.where(pos >= 0, ids[jnp.where(pos >= 0, pos, 0)], -1)
     out_ids = jnp.where(jnp.isfinite(out_dists), out_ids, -1)
     if k_eff < k:
         pad = k - k_eff
@@ -283,9 +293,17 @@ class IVFADCIndex:
             jax.block_until_ready(codes)
             del residuals, xd      # free the two big f32 temporaries
         with timer.phase("build_lists"):
+            # 128-row cell alignment lets the grouped dense-scan kernel
+            # stream posting ids and emit external ids directly; the padding
+            # costs memory (<=120 rows/cell), not scan DMA (chunk reads are
+            # size-bounded), so enable it everywhere the grouped engine can
+            # run. Huge-kc indexes (Deep1B-style) use the per-probe engine
+            # and keep the tight 8-row alignment.
+            align = 128 if config.kc <= 16384 else 8
             store = PostingStore.build_device(cres.assignments, codes,
                                               config.kc,
-                                              slack=config.cell_slack)
+                                              slack=config.cell_slack,
+                                              align=align)
         with timer.phase("coarse_quantizer"):
             coarse = make_coarse_quantizer(
                 config.coarse_quantizer, k_cq, cres.centers, cmetric,
@@ -322,10 +340,12 @@ class IVFADCIndex:
             # guard padding sized to the max configured chunk so the cached
             # decoded array stays valid if the effective chunk later grows
             dev = self.store.device_view_dense(self.quantizer,
-                                               self.config.scan_chunk)
+                                               self.config.scan_chunk,
+                                               cache=self._resolve_cache())
             out_ids, out_dists = _dense_search_impl(
                 self.coarse, self.quantizer.rotation,
-                dev["offsets"], dev["sizes"], dev["decoded"], dev["ids"], q,
+                dev["offsets"], dev["sizes"], dev["decoded"], dev["ids"],
+                dev["scale"], dev["ids2d"], q,
                 k=k, w=w, chunk=chunk, pb=self.config.scan_pb,
                 merge=self._resolve_merge_mode(),
                 nf=self.config.scan_fold_lanes,
@@ -367,6 +387,10 @@ class IVFADCIndex:
                           ((p95 + nf - 1) // nf) * nf))
         self._eff_chunk_cache = (caps, eff)
         return eff
+
+    def _resolve_cache(self) -> str:
+        cache = self.config.scan_cache
+        return "int8" if cache == "auto" else cache
 
     def _resolve_merge_mode(self) -> str:
         mode = self.config.scan_merge

@@ -52,6 +52,12 @@ class PostingStore:
         self.offsets = offsets       # (kc,) int64
         self.caps = caps             # (kc,) int64
         self.sizes = sizes           # (kc,) int64
+        # cell capacity/offset alignment in rows: 8 (Mosaic sublane minimum)
+        # or 128 (lane-aligned starts — lets the grouped dense-scan kernel
+        # stream the ids array in (rows/128, 128) layout and emit external
+        # ids directly). Derived, so it survives save/load via `caps`.
+        self.align = 128 if (len(caps) and (caps % 128 == 0).all()
+                             and (offsets % 128 == 0).all()) else 8
         # host flat arrays — may start as None after a device-side build
         # (D2H on tunneled runtimes moves ~1 MB/s; only dynamic ops and
         # save need the host copy, so it hydrates lazily)
@@ -87,17 +93,18 @@ class PostingStore:
     # ------------------------------------------------------------------ build
     @classmethod
     def build(cls, assignments: np.ndarray, codes: np.ndarray, kc: int,
-              slack: float = 1.25) -> "PostingStore":
+              slack: float = 1.25, align: int = 8) -> "PostingStore":
         """Sort n points by cell into padded CSR. ids = insertion order 0..n-1
         (the reference's `idxs .- 1` 0-basing, /root/reference/src/index.jl:189)."""
         assignments = np.asarray(assignments, np.int64)
         codes = np.asarray(codes)
         n, m = codes.shape
         counts = np.bincount(assignments, minlength=kc).astype(np.int64)
-        # capacities (and hence cell offsets) are kept 8-row aligned so the
-        # Pallas dense-scan kernel's DMA starts are sublane-aligned
+        # capacities (and hence cell offsets) are `align`-row aligned so the
+        # Pallas dense-scan kernel's DMA starts are sublane-aligned (8) or
+        # lane-aligned (128 — enables in-kernel id emission)
         caps = (counts.astype(np.float64) * slack).astype(np.int64) + 8
-        caps = np.maximum(8, ((caps + 7) // 8) * 8)
+        caps = np.maximum(align, ((caps + align - 1) // align) * align)
         offsets = np.zeros(kc, np.int64)
         np.cumsum(caps[:-1], out=offsets[1:])
         total = int(offsets[-1] + caps[-1])
@@ -116,7 +123,7 @@ class PostingStore:
 
     @classmethod
     def build_device(cls, assignments, codes, kc: int,
-                     slack: float = 1.25) -> "PostingStore":
+                     slack: float = 1.25, align: int = 8) -> "PostingStore":
         """`build` with the sort/scatter on device: only the (kc,) cell
         counts cross to host; the flat code/id arrays stay device-resident
         (search needs nothing else) and the host copy hydrates on first
@@ -128,7 +135,7 @@ class PostingStore:
         counts = np.asarray(jnp.bincount(assignments, length=kc)
                             ).astype(np.int64)
         caps = (counts.astype(np.float64) * slack).astype(np.int64) + 8
-        caps = np.maximum(8, ((caps + 7) // 8) * 8)
+        caps = np.maximum(align, ((caps + align - 1) // align) * align)
         offsets = np.zeros(kc, np.int64)
         np.cumsum(caps[:-1], out=offsets[1:])
         total = int(offsets[-1] + caps[-1])
@@ -208,17 +215,23 @@ class PostingStore:
         if self._device_dense is not None:
             from ivfadc_tpu.ops import pq as pq_ops
             dd = self._device_dense
-            rows = pq_ops.decode_rotated(self._dense_quantizer,
-                                         self.codes[slots])
+            if dd.get("scale") is not None:
+                rows = pq_ops.decode_rotated_int8(
+                    self._dense_quantizer, self.codes[slots], dd["scale"])
+            else:
+                rows = pq_ops.decode_rotated(self._dense_quantizer,
+                                             self.codes[slots])
             d_pad = dd["decoded"].shape[1] - rows.shape[1]
             if d_pad:
                 rows = jnp.pad(rows, ((0, 0), (0, d_pad)))
             live = jnp.asarray(self.ids[slots] >= 0)[:, None]
-            rows = jnp.where(live, rows, 0)
-            dd["decoded"] = dd["decoded"].at[sl].set(rows.astype(jnp.bfloat16),
+            rows = jnp.where(live, rows, 0).astype(dd["decoded"].dtype)
+            dd["decoded"] = dd["decoded"].at[sl].set(rows,
                                                      unique_indices=True)
             dd["ids"] = dd["ids"].at[sl].set(
                 jnp.asarray(self.ids[slots], jnp.int32), unique_indices=True)
+            if dd.get("ids2d") is not None:
+                dd["ids2d"] = dd["ids"].reshape(-1, _LANE)
             dd["sizes"] = jnp.asarray(self.sizes, jnp.int32)
         self._dirty_slots = set()
 
@@ -227,6 +240,8 @@ class PostingStore:
             if view is not None:
                 ids = view["ids"]
                 view["ids"] = jnp_where_shift(ids, threshold, delta)
+                if view.get("ids2d") is not None:
+                    view["ids2d"] = view["ids"].reshape(-1, _LANE)
 
     def append(self, cell: int, code_row: np.ndarray, ext_id: int) -> None:
         self._materialize_for_mutation()
@@ -239,8 +254,9 @@ class PostingStore:
         self._mark_dirty(slot)
 
     def _grow_cell(self, cell: int) -> None:
+        a = self.align
         new_caps = self.caps.copy()
-        new_caps[cell] = ((max(self.caps[cell] * 2, 16) + 7) // 8) * 8
+        new_caps[cell] = ((max(self.caps[cell] * 2, 16) + a - 1) // a) * a
         new_offsets = np.zeros(self.kc, np.int64)
         np.cumsum(new_caps[:-1], out=new_offsets[1:])
         total = int(new_offsets[-1] + new_caps[-1])
@@ -332,6 +348,8 @@ class PostingStore:
                 ids = view["ids"]
                 view["ids"] = jnp.where(
                     ids >= 0, ids - jnp.searchsorted(dels_d, ids), ids)
+                if view.get("ids2d") is not None:
+                    view["ids2d"] = view["ids"].reshape(-1, _LANE)
 
     def delete_ids(self, ext_ids: np.ndarray) -> int:
         """Batch delete + positional re-numbering: every surviving id drops by
@@ -391,35 +409,63 @@ class PostingStore:
             )
         return self._device
 
-    def device_view_dense(self, quantizer, chunk: int) -> Dict:
+    def device_view_dense(self, quantizer, chunk: int,
+                          cache: str = "bf16") -> Dict:
         """Cached arrays for the Pallas dense-scan path: resident decoded
-        residuals (rotated space, bf16) guard-padded past every cell so
-        chunked DMA never reads out of bounds, and zero-padded on the feature
-        dim to a 128-lane multiple (Mosaic HBM slices must be lane-aligned;
-        zero features change neither dot products nor norms). Rebuilt lazily
-        after any mutation (the PQ codes remain the source of truth)."""
+        residuals (rotated space) guard-padded past every cell so chunked
+        DMA never reads out of bounds, and zero-padded on the feature dim to
+        a 128-lane multiple (Mosaic HBM slices must be lane-aligned; zero
+        features change neither dot products nor norms). Rebuilt lazily
+        after any mutation (the PQ codes remain the source of truth).
+
+        cache="bf16" stores 2 bytes/dim; "int8" stores 1 byte/dim plus a
+        per-column dequantization scale (the scan kernel's DMA traffic —
+        its bottleneck — halves)."""
         self._dense_quantizer = quantizer
+        if (self._device_dense is not None
+                and self._device_dense["cache"] != cache):
+            self._device_dense = None       # dtype switch: rebuild
         self._flush_dirty()
         if self._device_dense is None:
             import jax.numpy as jnp
             from ivfadc_tpu.ops import pq as pq_ops
             src_codes = self._codes_dev if self._codes_dev is not None \
                 else self.codes
-            decoded = pq_ops.decode_rotated(quantizer, src_codes)
+            if cache == "int8":
+                scale = pq_ops.cache_scale(quantizer)
+                decoded = pq_ops.decode_rotated_int8(quantizer, src_codes,
+                                                     scale)
+            else:
+                scale = None
+                decoded = pq_ops.decode_rotated(quantizer, src_codes)
             total = decoded.shape[0]
             guard = self._bucket_rows(total + chunk + _LANE) - total
             d_pad = _round_up(decoded.shape[1], _LANE) - decoded.shape[1]
             decoded = jnp.pad(decoded, ((0, guard), (0, d_pad)))
+            if scale is not None and d_pad:
+                # padded columns hold zero codes; scale value is irrelevant
+                # but must be finite/nonzero for the kernel multiply
+                scale = jnp.pad(scale, (0, d_pad), constant_values=1.0)
             if self._ids_dev is not None:
                 ids = jnp.pad(self._ids_dev, (0, guard), constant_values=-1)
             else:
                 ids = jnp.asarray(
                     np.pad(self.ids, (0, guard), constant_values=-1),
                     jnp.int32)
+            # lane-aligned stores expose the ids in (rows/128, 128) layout
+            # too, so the grouped scan kernel can DMA id rows alongside the
+            # decoded rows and emit external ids directly (no host-visible
+            # position decode / scalar id gather in the search epilogue)
+            ids2d = ids.reshape(-1, _LANE) \
+                if self.align % _LANE == 0 and ids.shape[0] % _LANE == 0 \
+                else None
             self._device_dense = dict(
                 offsets=jnp.asarray(self.offsets, jnp.int32),
                 sizes=jnp.asarray(self.sizes, jnp.int32),
                 decoded=decoded,
                 ids=ids,
+                ids2d=ids2d,
+                scale=scale,
+                cache=cache,
             )
         return self._device_dense

@@ -50,11 +50,11 @@ _CAND = 128    # per-probe candidate lanes (Mosaic lane tile)
 
 
 def _scan_kernel(starts_ref, sizes_ref, base_ref,   # scalar prefetch (P,)
-                 v_hbm, decoded_hbm,                # ANY/HBM
+                 v_hbm, decoded_hbm, scale_ref,     # ANY/HBM, (8, d) VMEM
                  out_d_ref, out_p_ref,              # (PB, 128) VMEM blocks
                  vbuf, cbuf, vsem, csems,           # scratch
                  *, chunk: int, k_out: int, norm_coef: float,
-                 merge: str = "exact", nf: int = _CAND):
+                 merge: str = "exact", nf: int = _CAND, int8: bool = False):
     step = pl.program_id(0)
     d = vbuf.shape[-1]
 
@@ -98,7 +98,13 @@ def _scan_kernel(starts_ref, sizes_ref, base_ref,   # scalar prefetch (P,)
                 dma((ci + 1) % 2, ci + 1).start()
 
             dma(slot, ci).wait()
-            rows = cbuf[slot]                                  # (chunk, d)
+            if int8:
+                # dequantize in VMEM: per-column scale * int8 codes -> bf16.
+                # Halves the HBM DMA traffic vs a bf16 cache; int8->bf16 is
+                # exact (|q| <= 127) so precision matches the scale rounding.
+                rows = cbuf[slot].astype(jnp.bfloat16) * scale_ref[0:1, :]
+            else:
+                rows = cbuf[slot]                              # (chunk, d)
             scores = jax.lax.dot_general(
                 v_row, rows, dimension_numbers=contract_last,
                 preferred_element_type=jnp.float32)            # (1, chunk)
@@ -154,11 +160,12 @@ def _scan_kernel(starts_ref, sizes_ref, base_ref,   # scalar prefetch (P,)
 
 def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
                          v_ref, base_ref,           # (pb, d), (pb, 1) VMEM
-                         decoded_hbm,               # (cap_pad, d) bf16 HBM
-                         out_d_ref, out_p_ref,      # (pb, 128) VMEM blocks
-                         cbuf, csems,               # scratch
-                         *, chunk: int, k_out: int, norm_coef: float,
-                         pb: int, merge: str = "exact", nf: int = _CAND):
+                         decoded_hbm,               # (cap_pad, d) bf16|i8 HBM
+                         scale_ref,                 # (8, d) bf16 VMEM
+                         *rest,                     # [ids_hbm,] outs, scratch
+                         chunk: int, k_out: int, norm_coef: float,
+                         pb: int, merge: str = "exact", nf: int = _CAND,
+                         int8: bool = False, emit_ids: bool = False):
     """Query-grouped scan: the pb rows of this grid step are (up to) pb probes
     of the SAME cell, so one DMA chunk feeds a (pb, d) x (d, chunk) MXU
     matmul and every merge reduction runs row-parallel across sublanes.
@@ -172,9 +179,20 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
     lost only if it collides with a better one in the same slot (expected
     ~C(k,2)/nf per probe — ~0.1% recall impact at k=10, nf=512), for ~10x
     less VPU work per chunk than "exact". nf must be a multiple of 128 and
-    divide chunk."""
+    divide chunk.
+
+    emit_ids (fold only): an ids_hbm (cap_pad/128, 128) i32 input follows
+    scale_ref; cell starts must be 128-row aligned. The kernel streams id
+    rows alongside decoded rows (+3% DMA) and the candidate buffer stores
+    EXTERNAL IDS instead of positions — the epilogue then needs no
+    position->id decode (which costs a slow scalar gather on some runtimes).
+    """
+    if emit_ids:
+        ids_hbm, out_d_ref, out_p_ref, cbuf, csems, ibuf, isems = rest
+    else:
+        out_d_ref, out_p_ref, cbuf, csems = rest
     t = pl.program_id(0)
-    start = pl.multiple_of(tstart_ref[t], 8)
+    start = pl.multiple_of(tstart_ref[t], 128 if emit_ids else 8)
     size = tsize_ref[t]
     nchunks = pl.cdiv(size, chunk)
     d = v_ref.shape[-1]
@@ -191,9 +209,17 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
             decoded_hbm.at[pl.ds(start + ci * chunk, chunk), :],
             cbuf.at[slot], csems.at[slot])
 
+    def idma(slot, ci):
+        return pltpu.make_async_copy(
+            ids_hbm.at[pl.ds((start + ci * chunk) // _CAND, chunk // _CAND),
+                       :],
+            ibuf.at[slot], isems.at[slot])
+
     @pl.when(nchunks > 0)
     def _():
         dma(0, 0).start()
+        if emit_ids:
+            idma(0, 0).start()
 
     def body(ci, _):
         slot = ci % 2
@@ -201,9 +227,18 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
         @pl.when(ci + 1 < nchunks)
         def _():
             dma((ci + 1) % 2, ci + 1).start()
+            if emit_ids:
+                idma((ci + 1) % 2, ci + 1).start()
 
         dma(slot, ci).wait()
-        rows = cbuf[slot]                                       # (chunk, d)
+        if emit_ids:
+            idma(slot, ci).wait()
+        if int8:
+            # per-column dequant (see _scan_kernel) — the multiply runs once
+            # per DMA'd chunk and feeds up to pb probes' matmuls
+            rows = cbuf[slot].astype(jnp.bfloat16) * scale_ref[0:1, :]
+        else:
+            rows = cbuf[slot]                                   # (chunk, d)
         scores = jax.lax.dot_general(
             v_ref[...], rows, dimension_numbers=contract_last,
             preferred_element_type=jnp.float32)                 # (pb, chunk)
@@ -219,24 +254,32 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
         if merge == "fold":
             # per-slot running min: candidate at chunk position g*128+l
             # competes for slot (g*128+l) mod nf — nf/128 banks of 128 lanes.
-            # Positions are stored as the 128-row CHUNK-BLOCK index within
-            # the cell (pos8=True: int8 — the lane is the buffer lane and
-            # the cell start is re-attached only for the final k winners),
-            # which shrinks the dominant per-tile output traffic.
+            # emit_ids: the payload lane stores the candidate's EXTERNAL ID
+            # (from the id row streamed with the chunk). Otherwise positions
+            # are stored as the 128-row CHUNK-BLOCK index within the cell
+            # (pos8=True: int8 — the lane is the buffer lane and the cell
+            # start is re-attached only for the final k winners), which
+            # shrinks the dominant per-tile output traffic.
             nbank = nf // _CAND
             pdt = out_p_ref.dtype
             banks_d = [out_d_ref[:, b * _CAND:(b + 1) * _CAND]
                        for b in range(nbank)]
             banks_p = [out_p_ref[:, b * _CAND:(b + 1) * _CAND]
                        for b in range(nbank)]
+            if emit_ids:
+                idrows = ibuf[slot]                 # (chunk/128, 128) i32
             for g in range(chunk // _CAND):                     # static unroll
                 b = g % nbank
                 sub = jax.lax.slice_in_dim(scores, g * _CAND, (g + 1) * _CAND,
                                            axis=1)              # (pb, 128)
-                blk = (ci * (chunk // _CAND) + g).astype(pdt)
                 upd = sub < banks_d[b]
                 banks_d[b] = jnp.where(upd, sub, banks_d[b])
-                banks_p[b] = jnp.where(upd, blk, banks_p[b])
+                if emit_ids:
+                    pay = jax.lax.slice_in_dim(idrows, g, g + 1, axis=0)
+                    banks_p[b] = jnp.where(upd, pay, banks_p[b])
+                else:
+                    blk = (ci * (chunk // _CAND) + g).astype(pdt)
+                    banks_p[b] = jnp.where(upd, blk, banks_p[b])
             for b in range(nbank):
                 out_d_ref[:, b * _CAND:(b + 1) * _CAND] = banks_d[b]
                 out_p_ref[:, b * _CAND:(b + 1) * _CAND] = banks_p[b]
@@ -264,7 +307,9 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
     jax.jit,
     static_argnames=("kc", "k_out", "chunk", "norm_coef", "pb", "merge",
                      "nf", "pos8", "interpret"))
-def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, *, kc: int,
+def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
+                       ids2d=None,
+                       *, kc: int,
                        k_out: int, chunk: int, norm_coef: float = 1.0,
                        pb: int = 16, merge: str = "exact", nf: int = _CAND,
                        pos8: bool = False, interpret: bool = False):
@@ -274,7 +319,9 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, *, kc: int,
 
     cells (B, w) i32; offsets/sizes (kc,) i32; v (B, w, d); base (B, w) f32;
     decoded (cap_pad, d_pad) bf16 with d_pad a 128-multiple >= d (v is
-    zero-padded up to it here — zero features are score-neutral).
+    zero-padded up to it here — zero features are score-neutral). decoded may
+    instead be int8 (half the DMA traffic), in which case `scale` (d_pad,)
+    must give the per-column dequantization factors (row = int8 * scale).
     Returns (cand_d (B, w, nf) f32, cand_p (B, w, nf)) in the original
     probe order — same contract as `dense_scan`. nf (a 128-multiple dividing
     chunk) sets the per-probe candidate-buffer width; wider buffers cut fold
@@ -285,7 +332,13 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, *, kc: int,
     cell (absolute slot = cell_offset + block*128 + buffer_lane%128;
     -1 = empty) — int8 when pos8=True (valid while every cell cap is
     <= 128*127 rows), which shrinks the dominant per-tile output traffic.
+    With ids2d (the posting ids in (cap_pad/128, 128) i32 layout; requires
+    128-row-aligned cells and merge="fold"), cand_p instead holds EXTERNAL
+    IDS — the caller skips position decoding entirely.
     """
+    emit_ids = ids2d is not None
+    if emit_ids:
+        assert merge == "fold", "id emission requires fold merge"
     if merge == "exact":
         assert nf == _CAND, "exact merge uses a single 128-lane buffer"
     assert nf % _CAND == 0 and chunk % nf == 0, (nf, chunk)
@@ -340,30 +393,51 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, *, kc: int,
     base_tiles = jnp.where(slot_valid, base.reshape(-1)[probe_idx],
                            jnp.inf).reshape(T_max * pb, 1)
 
+    int8 = decoded.dtype == jnp.int8
+    d_dec = decoded.shape[-1]
+    if int8:
+        if scale is None:
+            raise ValueError("int8 decoded cache requires a scale vector")
+        scale8 = jnp.broadcast_to(
+            scale.astype(jnp.bfloat16)[None, :], (8, d_dec))
+    else:
+        scale8 = jnp.ones((8, d_dec), jnp.bfloat16)
+    in_specs = [
+        pl.BlockSpec((pb, d), lambda t, *_: (t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((pb, 1), lambda t, *_: (t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec((8, d_dec), lambda t, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((2, chunk, d), jnp.int8 if int8 else jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    inputs = [tile_start, tile_size, v_tiles, base_tiles, decoded, scale8]
+    if emit_ids:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        inputs.append(ids2d)
+        scratch += [pltpu.VMEM((2, chunk // _CAND, _CAND), jnp.int32),
+                    pltpu.SemaphoreType.DMA((2,))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T_max,),
-        in_specs=[
-            pl.BlockSpec((pb, d), lambda t, *_: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((pb, 1), lambda t, *_: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((pb, nf), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((pb, nf), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, chunk, d), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
-    p_dtype = jnp.int8 if (merge == "fold" and pos8) else jnp.int32
+    p_dtype = jnp.int8 if (merge == "fold" and pos8 and not emit_ids) \
+        else jnp.int32
     kernel = functools.partial(_grouped_scan_kernel, chunk=chunk, k_out=k_out,
-                               norm_coef=norm_coef, pb=pb, merge=merge, nf=nf)
+                               norm_coef=norm_coef, pb=pb, merge=merge, nf=nf,
+                               int8=int8, emit_ids=emit_ids)
     out_d, out_p = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -372,7 +446,7 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, *, kc: int,
             jax.ShapeDtypeStruct((T_max * pb, nf), p_dtype),
         ],
         interpret=interpret,
-    )(tile_start, tile_size, v_tiles, base_tiles, decoded)
+    )(*inputs)
 
     # map output rows back to original probe order: probe i sits at sorted
     # position inv[i]; its tile/slot give its output row. (Scatter, not a
@@ -389,7 +463,8 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, *, kc: int,
     jax.jit,
     static_argnames=("k_out", "chunk", "norm_coef", "merge", "nf", "pos8",
                      "interpret"))
-def dense_scan(starts, sizes, v, base, decoded, *, k_out: int, chunk: int,
+def dense_scan(starts, sizes, v, base, decoded, scale=None, *, k_out: int,
+               chunk: int,
                norm_coef: float = 1.0, merge: str = "exact", nf: int = _CAND,
                pos8: bool = False, interpret: bool = False):
     """Scan the probed cells, returning per-probe candidate buffers.
@@ -422,12 +497,23 @@ def dense_scan(starts, sizes, v, base, decoded, *, k_out: int, chunk: int,
     base_f = jnp.pad(base.reshape(-1).astype(jnp.float32), (0, pad))
     v_f = jnp.pad(v.reshape(P, d).astype(jnp.bfloat16), ((0, pad), (0, 0)))
 
+    int8 = decoded.dtype == jnp.int8
+    d_dec = decoded.shape[-1]
+    if int8:
+        if scale is None:
+            raise ValueError("int8 decoded cache requires a scale vector")
+        scale8 = jnp.broadcast_to(
+            scale.astype(jnp.bfloat16)[None, :], (8, d_dec))
+    else:
+        scale8 = jnp.ones((8, d_dec), jnp.bfloat16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(P_pad // _PB,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((8, d_dec), lambda s, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((_PB, nf), lambda s, *_: (s, 0),
@@ -437,7 +523,7 @@ def dense_scan(starts, sizes, v, base, decoded, *, k_out: int, chunk: int,
         ],
         scratch_shapes=[
             pltpu.VMEM((_PB, d), jnp.bfloat16),
-            pltpu.VMEM((2, chunk, d), jnp.bfloat16),
+            pltpu.VMEM((2, chunk, d), jnp.int8 if int8 else jnp.bfloat16),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -447,7 +533,8 @@ def dense_scan(starts, sizes, v, base, decoded, *, k_out: int, chunk: int,
     del pos8
     p_dtype = jnp.int32
     kernel = functools.partial(_scan_kernel, chunk=chunk, k_out=k_out,
-                               norm_coef=norm_coef, merge=merge, nf=nf)
+                               norm_coef=norm_coef, merge=merge, nf=nf,
+                               int8=int8)
     out_d, out_p = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -456,6 +543,6 @@ def dense_scan(starts, sizes, v, base, decoded, *, k_out: int, chunk: int,
             jax.ShapeDtypeStruct((P_pad, nf), p_dtype),
         ],
         interpret=interpret,
-    )(starts_f, sizes_f, base_f, v_f, decoded)
+    )(starts_f, sizes_f, base_f, v_f, decoded, scale8)
     return (out_d[:P].reshape(B, w, nf),
             out_p[:P].reshape(B, w, nf))

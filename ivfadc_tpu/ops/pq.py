@@ -222,6 +222,40 @@ def decode_rotated(pq: ProductQuantizer, codes, block: int = 65536):
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
+def cache_scale(pq: ProductQuantizer) -> jax.Array:
+    """Per-column int8 dequantization scale for the decoded-residual cache.
+
+    Column j of any decoded (rotated-space) residual is one of the k entries
+    of codebook[j // dsub][:, j % dsub], so max |codebook| per column bounds
+    every cache value — the scale is exact, independent of which codes are
+    stored, and therefore stable under all dynamic ops (codebooks never
+    change after build)."""
+    amax = jnp.max(jnp.abs(pq.codebooks), axis=1)        # (m, dsub)
+    return jnp.maximum(amax.reshape(-1) / 127.0, 1e-12).astype(jnp.float32)
+
+
+def decode_rotated_int8(pq: ProductQuantizer, codes, scale,
+                        block: int = 65536):
+    """(n, m) codes -> (n, d) int8 cache rows: round(codeword / scale).
+
+    int8 halves the dense-scan DMA traffic vs bf16; with the codebook-derived
+    per-column `scale` (see cache_scale) the quantization error is <= scale/2
+    per element — the same order as bf16's 8-bit mantissa rounding.
+
+    The CODEBOOKS are quantized once and the one-hot decode matmul runs on
+    the int8 entries (integers <= 127 are exact in bf16), so every cache row
+    is bit-identical to quantizing its exact f32 decoded value."""
+    m, k, dsub = pq.codebooks.shape
+    scale = scale[:m * dsub]     # callers may hold a lane-padded scale
+    qcb = jnp.clip(
+        jnp.round(pq.codebooks / scale.reshape(m, 1, dsub)), -127, 127)
+    codes = jnp.asarray(codes)
+    n = codes.shape[0]
+    outs = [_decode_rotated_onehot(qcb, codes[s:s + block]).astype(jnp.int8)
+            for s in range(0, max(n, 1), block)]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
 def decode(pq: ProductQuantizer, codes: jax.Array) -> jax.Array:
     """Decode (n, m) codes -> (n, d) approximate residuals.
 

@@ -79,7 +79,7 @@ def partition_store(store, n_shards: int):
                      "apply_rot", "residual_based", "dense", "chunk", "pb",
                      "merge", "nf", "interpret"))
 def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
-                         queries, *, mesh, k: int, w: int, window: int,
+                         dscale, queries, *, mesh, k: int, w: int, window: int,
                          metric: Metric, include_base: bool, apply_rot: bool,
                          residual_based: bool, dense: bool = False,
                          chunk: int = 1024, pb: int = 32,
@@ -90,7 +90,8 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
     in LUT mode or the decoded bf16 residual array in dense mode. Returns
     replicated-over-shard (B, k) global ids + dists."""
 
-    def local_search(cq_l, cb_l, rot_l, off_l, siz_l, cod_l, ids_l, q_l):
+    def local_search(cq_l, cb_l, rot_l, off_l, siz_l, cod_l, ids_l, scale_l,
+                     q_l):
         # strip the leading per-shard axis added by shard_map
         off_l, siz_l = off_l[0], siz_l[0]
         cod_l, ids_l = cod_l[0], ids_l[0]
@@ -121,7 +122,7 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                 base_d = base
                 norm_coef = 0.0
             out_d, out_p = grouped_dense_scan(
-                cells, off_l, siz_l, vden, base_d, cod_l,
+                cells, off_l, siz_l, vden, base_d, cod_l, scale_l,
                 kc=off_l.shape[0], k_out=min(k, 128), chunk=chunk,
                 norm_coef=norm_coef, pb=pb, merge=merge,
                 nf=nf if merge == "fold" else 128, interpret=interpret)
@@ -166,11 +167,11 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
     fn = shard_map(
         local_search, mesh=mesh,
         in_specs=(P(), P(), P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
-                  P(SHARD_AXIS), P(DATA_AXIS)),
+                  P(SHARD_AXIS), P(), P(DATA_AXIS)),
         out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
         check_vma=False)
     out_ids, out_d = fn(cq, codebooks, rotation, offsets, sizes, codes, ids,
-                        queries.astype(jnp.float32))
+                        dscale, queries.astype(jnp.float32))
     return out_ids, metric.finalize(out_d)
 
 
@@ -191,27 +192,41 @@ class ShardedIVFADCIndex:
         self.scan_mode = index._resolve_scan_mode()
         parts = partition_store(index.store, self.n_shards)
         self.window = parts.pop("window")
+        self.scale = None
         if self.scan_mode == "dense":
-            # per-shard decoded residual caches (rotated space, bf16),
-            # guard-padded for the kernel's chunked DMA
+            # per-shard decoded residual caches (rotated space, bf16 or int8
+            # matching the base index's scan_cache resolution), guard-padded
+            # for the kernel's chunked DMA
             from ivfadc_tpu.ops import pq as pq_ops
             chunk = index.config.scan_chunk     # guard for any effective chunk
             S, cap, _ = parts["codes"].shape
+            cache = index._resolve_cache()
+            scale = pq_ops.cache_scale(index.quantizer) \
+                if cache == "int8" else None
             dec = []
             for s_ in range(S):
-                d_ = pq_ops.decode_rotated(index.quantizer,
-                                           parts["codes"][s_])
+                if scale is not None:
+                    d_ = pq_ops.decode_rotated_int8(index.quantizer,
+                                                    parts["codes"][s_], scale)
+                else:
+                    d_ = pq_ops.decode_rotated(index.quantizer,
+                                               parts["codes"][s_])
                 d_pad = _round_up(d_.shape[1], _LANE) - d_.shape[1]
                 dec.append(jnp.pad(d_, ((0, chunk + 128), (0, d_pad))))
+                if s_ == 0 and scale is not None and d_pad:
+                    scale = jnp.pad(scale, (0, d_pad), constant_values=1.0)
             parts["codes"] = jnp.stack(dec)
             parts["ids"] = np.pad(parts["ids"], ((0, 0), (0, chunk + 128)),
                                   constant_values=-1)
+            self.scale = scale
         shard_sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
         self.arrays = {
             name: jax.device_put(arr, shard_sharding)
             for name, arr in parts.items()
         }
         repl = NamedSharding(self.mesh, P())
+        if self.scale is not None:
+            self.scale = jax.device_put(np.asarray(self.scale), repl)
         self.codebooks = jax.device_put(
             np.asarray(index.quantizer.codebooks), repl)
         self.rotation = jax.device_put(
@@ -245,7 +260,7 @@ class ShardedIVFADCIndex:
         ids, dists = _sharded_search_impl(
             self.coarse, self.codebooks, self.rotation,
             self.arrays["offsets"], self.arrays["sizes"],
-            self.arrays["codes"], self.arrays["ids"], q,
+            self.arrays["codes"], self.arrays["ids"], self.scale, q,
             mesh=self.mesh, k=k, w=w, window=self.window,
             metric=self.index.quant_metric, include_base=include_base,
             apply_rot=self.index.quantizer.method == "opq",

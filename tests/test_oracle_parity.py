@@ -19,15 +19,20 @@ from benchmarks.oracle import ReferenceOracle
 from ivfadc_tpu import IVFADCIndex
 
 
-@pytest.mark.parametrize("scan_mode", ["lut", "dense"])
-def test_search_matches_reference_oracle(scan_mode):
+@pytest.mark.parametrize("scan_mode,scan_cache,rt",
+                         [("lut", "bf16", 2e-3),
+                          ("dense", "bf16", 2e-3),
+                          # int8 decoded cache adds <=scale/2 per-dim
+                          # quantization noise on top of bf16 rounding
+                          ("dense", "int8", 2e-2)])
+def test_search_matches_reference_oracle(scan_mode, scan_cache, rt):
     rng = np.random.RandomState(0)
     centers = rng.randn(32, 16).astype(np.float32) * 3
     data = np.concatenate(
         [c + rng.randn(40, 16).astype(np.float32) for c in centers])
     idx = IVFADCIndex.build(data, kc=32, k=16, m=4, seed=0,
                             coarse_maxiter=8, quantization_maxiter=8,
-                            scan_mode=scan_mode)
+                            scan_mode=scan_mode, scan_cache=scan_cache)
     oracle = ReferenceOracle.from_index(idx)
     queries = data[rng.choice(len(data), 24)] + \
         0.05 * rng.randn(24, 16).astype(np.float32)
@@ -35,16 +40,16 @@ def test_search_matches_reference_oracle(scan_mode):
         ours_i, ours_d = idx.search(queries, 10, w=w)
         for q, oi, od in zip(queries, ours_i, ours_d):
             ri, rd = oracle.search(q, 10, w)
-            # ids must agree except for f32-rounding ties at the k-th
-            # boundary: every neighbor either appears in the oracle's set or
-            # scores within tolerance of the oracle's k-th distance
+            # ids must agree except for rounding ties at the k-th boundary:
+            # every neighbor either appears in the oracle's set or scores
+            # within tolerance of the oracle's k-th distance
             kth = rd[-1]
-            tol = 1e-3 * max(1.0, abs(float(kth)))
+            tol = rt * max(1.0, abs(float(kth)))
             for cand, cd in zip(oi.tolist(), od.tolist()):
                 assert cand in set(ri.tolist()) or abs(cd - kth) <= tol, \
                     (w, cand, cd, kth)
             np.testing.assert_allclose(np.sort(od), np.sort(rd),
-                                       rtol=2e-3, atol=1e-3)
+                                       rtol=rt, atol=rt)
 
 
 def test_reconstruct_matches_oracle_decode():

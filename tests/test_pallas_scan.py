@@ -91,3 +91,36 @@ def test_dense_scan_after_dynamic_ops():
 def test_dense_rejects_cityblock():
     with pytest.raises(ValueError):
         _build(scan_mode="dense", quantization_metric="cityblock")
+
+
+def test_dense_scan_int8_cache_matches_lut():
+    base, idx = _build(scan_mode="dense", scan_cache="int8")
+    _, idx_lut = _build(scan_mode="lut")
+    q = base[np.random.RandomState(3).choice(len(base), 16, replace=False)]
+    _compare(idx, idx_lut, q, k=10, w=4)
+
+
+def test_dense_scan_int8_cache_opq():
+    base, idx = _build(scan_mode="dense", scan_cache="int8",
+                       quantization_method="opq")
+    _, idx_lut = _build(scan_mode="lut", quantization_method="opq")
+    q = base[:8]
+    _compare(idx, idx_lut, q, k=5, w=4)
+
+
+def test_dense_scan_int8_dynamic_patch_matches_rebuild():
+    # incremental device-cache patches after push/delete must agree with a
+    # from-scratch rebuild of the int8 cache (same quantized codebooks)
+    base, idx = _build(scan_mode="dense", scan_cache="int8")
+    rng = np.random.RandomState(4)
+    _ = idx.search_padded(base[:4], 5, w=4)     # materialize device cache
+    target = np.full(32, 0.321, np.float32)
+    idx.push(target)
+    idx.push_batch(rng.randn(10, 32).astype(np.float32))
+    idx.delete(list(range(40, 60)))
+    idx.pop_front()
+    ids_a, d_a = idx.search_padded(target[None], 5, w=8)
+    idx.store._invalidate()                     # force full cache rebuild
+    ids_b, d_b = idx.search_padded(target[None], 5, w=8)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(d_a, d_b, rtol=1e-5, atol=1e-5)
