@@ -163,13 +163,15 @@ def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, dscale,
     flat_d = out_d.reshape(B, w * n_cand)
     flat_p = out_p.reshape(B, w * n_cand)
     k_eff = min(k, w * n_cand)
-    from ivfadc_tpu.ops.topk import topk_lastdim
-    out_dists, which = topk_lastdim(flat_d, k_eff, interpret=interpret)
-    sel = jnp.take_along_axis(flat_p, which, axis=1)
+    from ivfadc_tpu.ops.topk import topk_lastdim, topk_lastdim_payload
     if emit_ids:
-        # the kernel already emitted external ids as the candidate payload
-        out_ids = sel
+        # the kernel already emitted external ids as the candidate payload;
+        # the fused top-k carries them out in one pass
+        out_dists, out_ids = topk_lastdim_payload(flat_d, flat_p, k_eff,
+                                                  interpret=interpret)
     else:
+        out_dists, which = topk_lastdim(flat_d, k_eff, interpret=interpret)
+        sel = jnp.take_along_axis(flat_p, which, axis=1)
         if merge == "fold":
             # fold emits per-cell chunk-block indices: re-attach the winning
             # probe's cell offset (only k values per query, not w*nf)

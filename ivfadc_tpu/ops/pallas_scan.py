@@ -342,6 +342,9 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
     if merge == "exact":
         assert nf == _CAND, "exact merge uses a single 128-lane buffer"
     assert nf % _CAND == 0 and chunk % nf == 0, (nf, chunk)
+    int8 = decoded.dtype == jnp.int8
+    if int8 and scale is None:
+        raise ValueError("int8 decoded cache requires a scale vector")
     if v.shape[-1] != decoded.shape[-1]:
         v = jnp.pad(v, ((0, 0), (0, 0), (0, decoded.shape[-1] - v.shape[-1])))
     B, w, d = v.shape
@@ -349,6 +352,39 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
     T_max = P // pb + min(kc, P) + 1
 
     cells_flat = cells.reshape(-1).astype(jnp.int32)
+    from ivfadc_tpu.ops.cell_rank import MAX_KC, cell_ranks
+    if kc <= MAX_KC:
+        # Pallas counting-sort ranks: one sequential pass with per-cell
+        # counters — ~2x faster than lax.sort's bitonic network, and the
+        # rank is exactly the quantity the tile math needs (no inverse
+        # permutation / searchsorted bookkeeping on P-sized arrays)
+        ranks, counts = cell_ranks(cells_flat, kc=kc, interpret=interpret)
+        nt = (counts + pb - 1) // pb                      # tiles per cell
+        tile_base = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                     jnp.cumsum(nt)[:-1].astype(jnp.int32)])
+        total_tiles = jnp.sum(nt)
+        trange = jnp.arange(T_max, dtype=jnp.int32)
+        c_t = jnp.clip(jnp.searchsorted(tile_base, trange, side="right") - 1,
+                       0, kc - 1).astype(jnp.int32)
+        j_t = trange - tile_base[c_t]
+        tile_valid = trange < total_tiles
+        tile_start = jnp.where(tile_valid, offsets[c_t], 0).astype(jnp.int32)
+        tile_size = jnp.where(tile_valid, sizes[c_t], 0).astype(jnp.int32)
+        row = (tile_base[cells_flat] + ranks // pb) * pb + ranks % pb
+        # scatter probes into their tile rows (unwritten rows keep base=inf,
+        # so the kernel treats them as empty slots)
+        v_tiles = jnp.zeros((T_max * pb, d), jnp.bfloat16) \
+            .at[row].set(v.reshape(P, d).astype(jnp.bfloat16),
+                         unique_indices=True)
+        base_tiles = jnp.full((T_max * pb, 1), jnp.inf, jnp.float32) \
+            .at[row].set(base.reshape(P, 1).astype(jnp.float32),
+                         unique_indices=True)
+        return _grouped_call(tile_start, tile_size, v_tiles, base_tiles,
+                             decoded, scale, ids2d, row, B, w, d,
+                             T_max=T_max, k_out=k_out, chunk=chunk,
+                             norm_coef=norm_coef, pb=pb, merge=merge, nf=nf,
+                             pos8=pos8, emit_ids=emit_ids, int8=int8,
+                             interpret=interpret)
     # stable sort by cell via a single packed-int sort: (cell << idx_bits) |
     # probe_idx — half the data movement of argsort's (key, iota) pair sort
     idx_bits = max(1, (P - 1).bit_length())
@@ -393,11 +429,29 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
     base_tiles = jnp.where(slot_valid, base.reshape(-1)[probe_idx],
                            jnp.inf).reshape(T_max * pb, 1)
 
-    int8 = decoded.dtype == jnp.int8
+    # map output rows back to original probe order: probe i sits at sorted
+    # position inv[i]; its tile/slot give its output row. (Scatter, not a
+    # second argsort — inverting a permutation is one store per element.)
+    inv = jnp.zeros(P, jnp.int32).at[order].set(
+        jnp.arange(P, dtype=jnp.int32), unique_indices=True)
+    rank = inv - cell_first[cells_flat]
+    row = (tile_base[cells_flat] + rank // pb) * pb + rank % pb
+    return _grouped_call(tile_start, tile_size, v_tiles, base_tiles,
+                         decoded, scale, ids2d, row, B, w, d,
+                         T_max=T_max, k_out=k_out, chunk=chunk,
+                         norm_coef=norm_coef, pb=pb, merge=merge, nf=nf,
+                         pos8=pos8, emit_ids=emit_ids, int8=int8,
+                         interpret=interpret)
+
+
+def _grouped_call(tile_start, tile_size, v_tiles, base_tiles, decoded, scale,
+                  ids2d, row, B, w, d, *, T_max, k_out, chunk, norm_coef, pb,
+                  merge, nf, pos8, emit_ids, int8, interpret):
+    """Invoke the grouped scan kernel on prepared tiles and map the output
+    rows back to (B, w) probe order via `row` (shared by the counting-rank
+    and sort-based preps of `grouped_dense_scan`)."""
     d_dec = decoded.shape[-1]
     if int8:
-        if scale is None:
-            raise ValueError("int8 decoded cache requires a scale vector")
         scale8 = jnp.broadcast_to(
             scale.astype(jnp.bfloat16)[None, :], (8, d_dec))
     else:
@@ -447,14 +501,6 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
         ],
         interpret=interpret,
     )(*inputs)
-
-    # map output rows back to original probe order: probe i sits at sorted
-    # position inv[i]; its tile/slot give its output row. (Scatter, not a
-    # second argsort — inverting a permutation is one store per element.)
-    inv = jnp.zeros(P, jnp.int32).at[order].set(
-        jnp.arange(P, dtype=jnp.int32), unique_indices=True)
-    rank = inv - cell_first[cells_flat]
-    row = (tile_base[cells_flat] + rank // pb) * pb + rank % pb
     return (out_d[row].reshape(B, w, nf),
             out_p[row].reshape(B, w, nf))
 
