@@ -53,6 +53,7 @@ def _rank_kernel(cells_ref,          # (8, 128) i32 block
         cnt[...] = jnp.zeros((1, kcp), jnp.float32)
 
     cells = cells_ref[...].astype(jnp.float32)            # (8, 128)
+    eye = jnp.eye(_LANE, dtype=jnp.float32)
     kciota = jax.lax.broadcasted_iota(jnp.int32, (1, kcp), 1) \
         .astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
@@ -63,7 +64,10 @@ def _rank_kernel(cells_ref,          # (8, 128) i32 block
 
     for g in range(8):                                    # static unroll
         cg = jax.lax.slice_in_dim(cells, g, g + 1, axis=0)      # (1, 128)
-        cgT = jnp.transpose(cg)                                 # (128, 1)
+        # lane->sublane transpose via the MXU (eye @ cg^T): Mosaic's native
+        # relayout for jnp.transpose measured ~40% of the whole kernel
+        cgT = jax.lax.dot_general(eye, cg, contract_last,
+                                  preferred_element_type=jnp.float32)
         onehot = (cgT == kciota).astype(jnp.float32)            # (128, kcp)
         # carried-in count per probe, lane layout: (1,kcp) x (128,kcp)^T
         carried = jax.lax.dot_general(cnt[...], onehot, contract_last,
