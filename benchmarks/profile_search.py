@@ -88,7 +88,9 @@ def main():
     # --- kernel alone, with precomputed inputs ---
     from ivfadc_tpu.ops.pallas_scan import grouped_dense_scan
     chunk = idx.config.scan_chunk
-    dev = idx.store.device_view_dense(idx.quantizer, chunk)
+    # profile the SAME cache tier the production path resolves (auto->int8)
+    dev = idx.store.device_view_dense(idx.quantizer, chunk,
+                                      cache=idx._resolve_cache())
     cells, cdists = jax.block_until_ready(idx.coarse.search(qdev, w))
     cent = idx.coarse.centroids[cells]
     r = qdev[:, None, :] - cent
@@ -101,6 +103,7 @@ def main():
     def run(pb=None, ch=None, k_out=None):
         return grouped_dense_scan(
             cells, dev["offsets"], dev["sizes"], v, bse, dev["decoded"],
+            dev["scale"],
             kc=args.kc, k_out=k_out or min(k, 128), chunk=ch or chunk,
             norm_coef=1.0, pb=pb or idx.config.scan_pb, interpret=interp)
 
@@ -199,12 +202,16 @@ def main():
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, chunk, d_), jnp.bfloat16),
+                pltpu.VMEM((2, chunk, d_),
+                           decoded.dtype if decoded.dtype == jnp.int8
+                           else jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((2,), jnp.int32),
             ],
         )
         kern = ft.partial(ps._grouped_scan_kernel, chunk=chunk, k_out=k_out,
-                          norm_coef=1.0, pb=pb)
+                          norm_coef=1.0, pb=pb,
+                          int8=decoded.dtype == jnp.int8)
         return pl.pallas_call(
             kern, grid_spec=grid_spec,
             out_shape=[
@@ -246,7 +253,8 @@ def main():
     counts = np.bincount(np.asarray(cells).ravel(), minlength=args.kc)
     pb0 = idx.config.scan_pb
     tiles = (counts + pb0 - 1) // pb0
-    dma_bytes = float(np.sum(tiles * np.ceil(caps / chunk) * chunk * d * 2))
+    bpd = dev["decoded"].dtype.itemsize            # 1 (int8) or 2 (bf16)
+    dma_bytes = float(np.sum(tiles * np.ceil(caps / chunk) * chunk * d * bpd))
     print(f"  (DMA volume {dma_bytes/1e6:.0f} MB -> "
           f"{dma_bytes/819e9*1e3:.2f} ms at 819 GB/s)")
 

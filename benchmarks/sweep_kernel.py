@@ -38,7 +38,8 @@ def run_one(pb: int, chunk: int, merge: str):
     queries = (base[rng.choice(len(base), nq)] +
                0.05 * rng.randn(nq, d).astype(np.float32))
     qdev = jnp.asarray(queries)
-    dev = idx.store.device_view_dense(idx.quantizer, chunk)
+    dev = idx.store.device_view_dense(idx.quantizer, chunk,
+                                      cache=idx._resolve_cache())
     cells, cdists = idx.coarse.search(qdev, w)
     cent = idx.coarse.centroids[cells]
     r = qdev[:, None, :] - cent
@@ -51,6 +52,7 @@ def run_one(pb: int, chunk: int, merge: str):
     def run():
         return grouped_dense_scan(
             cells, dev["offsets"], dev["sizes"], v, bse, dev["decoded"],
+            dev["scale"],
             kc=kc, k_out=min(k, 128), chunk=chunk, norm_coef=1.0, pb=pb,
             merge=merge, nf=nf, interpret=interp)
 

@@ -325,6 +325,25 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
         state[1] = jnp.where(fits, nchunks, 0)
 
 
+def _tile_map(counts, offsets, sizes, pb: int, T_max: int, kc: int):
+    """Shared tile bookkeeping for `grouped_dense_scan`'s two preps: cell c
+    owns ceil(counts[c]/pb) consecutive tiles starting at tile_base[c].
+    Returns (tile_base (kc,), c_t, j_t, tile_valid (T_max,), tile_start,
+    tile_size) — the latter two zeroed on invalid tiles."""
+    nt = (counts + pb - 1) // pb                          # tiles per cell
+    tile_base = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                 jnp.cumsum(nt)[:-1].astype(jnp.int32)])
+    total_tiles = jnp.sum(nt)
+    trange = jnp.arange(T_max, dtype=jnp.int32)
+    c_t = jnp.clip(jnp.searchsorted(tile_base, trange, side="right") - 1,
+                   0, kc - 1).astype(jnp.int32)
+    j_t = trange - tile_base[c_t]
+    tile_valid = trange < total_tiles
+    tile_start = jnp.where(tile_valid, offsets[c_t], 0).astype(jnp.int32)
+    tile_size = jnp.where(tile_valid, sizes[c_t], 0).astype(jnp.int32)
+    return tile_base, c_t, j_t, tile_valid, tile_start, tile_size
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("kc", "k_out", "chunk", "norm_coef", "pb", "merge",
@@ -381,17 +400,8 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
         # rank is exactly the quantity the tile math needs (no inverse
         # permutation / searchsorted bookkeeping on P-sized arrays)
         ranks, counts = cell_ranks(cells_flat, kc=kc, interpret=interpret)
-        nt = (counts + pb - 1) // pb                      # tiles per cell
-        tile_base = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                     jnp.cumsum(nt)[:-1].astype(jnp.int32)])
-        total_tiles = jnp.sum(nt)
-        trange = jnp.arange(T_max, dtype=jnp.int32)
-        c_t = jnp.clip(jnp.searchsorted(tile_base, trange, side="right") - 1,
-                       0, kc - 1).astype(jnp.int32)
-        j_t = trange - tile_base[c_t]
-        tile_valid = trange < total_tiles
-        tile_start = jnp.where(tile_valid, offsets[c_t], 0).astype(jnp.int32)
-        tile_size = jnp.where(tile_valid, sizes[c_t], 0).astype(jnp.int32)
+        tile_base, _, _, _, tile_start, tile_size = _tile_map(
+            counts, offsets, sizes, pb, T_max, kc)
         row = (tile_base[cells_flat] + ranks // pb) * pb + ranks % pb
         # scatter probes into their tile rows (unwritten rows keep base=inf,
         # so the kernel treats them as empty slots)
@@ -423,21 +433,11 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
     cell_last = jnp.searchsorted(sorted_cells, crange,
                                  side="right").astype(jnp.int32)
     counts = cell_last - cell_first                       # probes per cell
-    nt = (counts + pb - 1) // pb                          # tiles per cell
-    tile_base = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                 jnp.cumsum(nt)[:-1].astype(jnp.int32)])
-    total_tiles = jnp.sum(nt)
-
-    trange = jnp.arange(T_max, dtype=jnp.int32)
-    c_t = jnp.clip(jnp.searchsorted(tile_base, trange, side="right") - 1,
-                   0, kc - 1).astype(jnp.int32)
-    j_t = trange - tile_base[c_t]
-    tile_valid = trange < total_tiles
+    tile_base, c_t, j_t, tile_valid, tile_start, tile_size = _tile_map(
+        counts, offsets, sizes, pb, T_max, kc)
     tile_sorted_start = cell_first[c_t] + j_t * pb
     tile_count = jnp.where(tile_valid,
                            jnp.clip(counts[c_t] - j_t * pb, 0, pb), 0)
-    tile_start = jnp.where(tile_valid, offsets[c_t], 0).astype(jnp.int32)
-    tile_size = jnp.where(tile_valid, sizes[c_t], 0).astype(jnp.int32)
 
     # slot-level: sorted position of each (tile, slot) entry
     srange = jnp.arange(pb, dtype=jnp.int32)
