@@ -92,10 +92,12 @@ class TwoLevelCoarseQuantizer:
     centroids: jax.Array        # (kc, d) float32 — the actual cells
     group_centers: jax.Array    # (g, d) float32
     members: jax.Array          # (g, gmax) int32, padded with -1
-    csr_offsets: jax.Array      # (g,) int32 — 8-aligned slot starts
+    csr_offsets: jax.Array      # (g,) int32 — 128-aligned slot starts
     csr_sizes: jax.Array        # (g,) int32 — live centroids per group
     perm: jax.Array             # (slots_pad,) int32 slot -> centroid id, -1 pad
-    cent_scan: jax.Array        # (slots_pad, d_pad) bf16 group-major centroids
+    cent_scan: jax.Array        # (slots_pad, d_pad) int8 group-major centroids
+    cent_scale: jax.Array       # (d_pad,) f32 per-column dequant scales
+    perm2d: jax.Array           # (slots_pad/128, 128) i32 — kernel id stream
     metric: Metric              # static
     n_probe_groups: int         # static
 
@@ -111,13 +113,18 @@ class TwoLevelCoarseQuantizer:
         members_h = np.asarray(members)
         g = members_h.shape[0]
         counts = (members_h >= 0).sum(axis=1).astype(np.int64)
-        caps = np.maximum(8, ((counts + 7) // 8) * 8)     # 8-aligned DMA starts
+        # 128-aligned group starts: lets the grouped scan kernel stream the
+        # centroid-id rows (perm2d) and emit cell ids directly — the
+        # post-scan perm[pos] scalar gather (B*w elements from a MB-sized
+        # table) was a measured multi-ms cost at Deep1B scale
+        caps = np.maximum(128, ((counts + 127) // 128) * 128)
         offsets = np.zeros(g, np.int64)
         np.cumsum(caps[:-1], out=offsets[1:])
         d = centroids.shape[1]
         d_pad = ((d + 127) // 128) * 128
         guard = 1024 + 128                                # max chunk + lane
         total = int(offsets[-1] + caps[-1]) + guard
+        total = ((total + 127) // 128) * 128
         perm = np.full(total, -1, np.int32)
         for gi in range(g):
             mem = members_h[gi][members_h[gi] >= 0]
@@ -125,10 +132,16 @@ class TwoLevelCoarseQuantizer:
         cent = np.zeros((total, d_pad), np.float32)
         live = perm >= 0
         cent[live, :d] = np.asarray(centroids)[perm[live]]
+        # int8 table + per-column scales: halves the stage-2 DMA at
+        # bf16-equivalent precision (same scheme as the posting-scan cache)
+        scale = np.maximum(np.abs(cent).max(axis=0) / 127.0, 1e-12)             .astype(np.float32)
+        cent_q = np.clip(np.round(cent / scale[None, :]), -127, 127)             .astype(np.int8)
         return cls(centroids, jnp.asarray(group_centers, jnp.float32),
                    jnp.asarray(members_h), jnp.asarray(offsets, jnp.int32),
                    jnp.asarray(counts, jnp.int32), jnp.asarray(perm),
-                   jnp.asarray(cent, jnp.bfloat16), metric, n_probe_groups)
+                   jnp.asarray(cent_q), jnp.asarray(scale),
+                   jnp.asarray(perm.reshape(-1, 128)), metric,
+                   n_probe_groups)
 
     @property
     def kc(self) -> int:
@@ -178,21 +191,17 @@ class TwoLevelCoarseQuantizer:
             jnp.sum(queries * queries, axis=1)[:, None], (B, gp))
         out_d, out_p = grouped_dense_scan(
             gids, self.csr_offsets, self.csr_sizes, v, base, self.cent_scan,
+            self.cent_scale, self.perm2d,
             kc=self.group_centers.shape[0], k_out=min(w, 128), chunk=chunk,
             norm_coef=1.0, pb=64, merge="fold", nf=128,
             interpret=jax.default_backend() != "tpu")
         nf = out_d.shape[-1]
         flat_d = out_d.reshape(B, gp * nf)
-        flat_p = out_p.reshape(B, gp * nf)
+        flat_p = out_p.reshape(B, gp * nf)   # emitted CELL ids (perm stream)
         w_eff = min(w, gp * nf)
-        dists, which = topk_lastdim(flat_d, w_eff)
-        # fold emits per-group chunk-block indices; rebuild absolute slots
-        blk = jnp.take_along_axis(flat_p, which, axis=1).astype(jnp.int32)
-        gprobe = which // nf
-        start = jnp.take_along_axis(self.csr_offsets[gids], gprobe, axis=1)
-        pos = jnp.where(blk >= 0, start + blk * 128 + which % 128, -1)
-        cells = jnp.where(pos >= 0, self.perm[jnp.where(pos >= 0, pos, 0)], 0)
-        cells = jnp.where(jnp.isfinite(dists), cells, 0)
+        from ivfadc_tpu.ops.topk import topk_lastdim_payload
+        dists, cells = topk_lastdim_payload(flat_d, flat_p, w_eff)
+        cells = jnp.where(jnp.isfinite(dists) & (cells >= 0), cells, 0)
         if w_eff < w:
             cells = jnp.pad(cells, ((0, 0), (0, w - w_eff)))
             dists = jnp.pad(dists, ((0, 0), (0, w - w_eff)),
@@ -201,7 +210,8 @@ class TwoLevelCoarseQuantizer:
 
     def tree_flatten(self):
         return ((self.centroids, self.group_centers, self.members,
-                 self.csr_offsets, self.csr_sizes, self.perm, self.cent_scan),
+                 self.csr_offsets, self.csr_sizes, self.perm, self.cent_scan,
+                 self.cent_scale, self.perm2d),
                 (self.metric, self.n_probe_groups))
 
     @classmethod

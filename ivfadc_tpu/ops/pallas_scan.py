@@ -575,28 +575,6 @@ def dense_scan(starts, sizes, v, base, decoded, scale=None, *, k_out: int,
             scale.astype(jnp.bfloat16)[None, :], (8, d_dec))
     else:
         scale8 = jnp.ones((8, d_dec), jnp.bfloat16)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(P_pad // _PB,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((8, d_dec), lambda s, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((_PB, nf), lambda s, *_: (s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_PB, nf), lambda s, *_: (s, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((_PB, d), jnp.bfloat16),
-            pltpu.VMEM((2, chunk, d), jnp.int8 if int8 else jnp.bfloat16),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
     # int8 outputs would give (8, nf) blocks below Mosaic's (32, 128) int8
     # tile — this kernel keeps i32 positions (still chunk-block encoded)
     del pos8
@@ -604,14 +582,49 @@ def dense_scan(starts, sizes, v, base, decoded, scale=None, *, k_out: int,
     kernel = functools.partial(_scan_kernel, chunk=chunk, k_out=k_out,
                                norm_coef=norm_coef, merge=merge, nf=nf,
                                int8=int8)
-    out_d, out_p = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((P_pad, nf), jnp.float32),
-            jax.ShapeDtypeStruct((P_pad, nf), p_dtype),
-        ],
-        interpret=interpret,
-    )(starts_f, sizes_f, base_f, v_f, decoded, scale8)
+
+    # SMEM budget: the three scalar-prefetch arrays live in ~1 MB of SMEM,
+    # so huge-kc probe counts (Deep1B-style: B*w = 131k probes would need
+    # 1.5 MB) are split into independent segment launches
+    _SEG = 65536
+    outs_d, outs_p = [], []
+    for s0 in range(0, P_pad, _SEG):
+        s1 = min(s0 + _SEG, P_pad)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=((s1 - s0) // _PB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec((8, d_dec), lambda s, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((_PB, nf), lambda s, *_: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_PB, nf), lambda s, *_: (s, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((_PB, d), jnp.bfloat16),
+                pltpu.VMEM((2, chunk, d), jnp.int8 if int8 else jnp.bfloat16),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        od, op = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((s1 - s0, nf), jnp.float32),
+                jax.ShapeDtypeStruct((s1 - s0, nf), p_dtype),
+            ],
+            interpret=interpret,
+        )(starts_f[s0:s1], sizes_f[s0:s1], base_f[s0:s1], v_f[s0:s1],
+          decoded, scale8)
+        outs_d.append(od)
+        outs_p.append(op)
+    out_d = outs_d[0] if len(outs_d) == 1 else jnp.concatenate(outs_d)
+    out_p = outs_p[0] if len(outs_p) == 1 else jnp.concatenate(outs_p)
     return (out_d[:P].reshape(B, w, nf),
             out_p[:P].reshape(B, w, nf))
