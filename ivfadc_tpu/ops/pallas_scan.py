@@ -47,6 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_CHUNK = 1024
 _PB = 8        # probes per grid step (Mosaic sublane tile)
 _CAND = 128    # per-probe candidate lanes (Mosaic lane tile)
+# Probes per dense_scan launch: its three scalar-prefetch arrays must fit
+# the ~1 MB SMEM budget (3 * SEG_PROBES * 4 B). Module-level so tests can
+# shrink it to exercise the multi-segment path cheaply.
+SEG_PROBES = 65536
 
 
 def _scan_kernel(starts_ref, sizes_ref, base_ref,   # scalar prefetch (P,)
@@ -586,10 +590,9 @@ def dense_scan(starts, sizes, v, base, decoded, scale=None, *, k_out: int,
     # SMEM budget: the three scalar-prefetch arrays live in ~1 MB of SMEM,
     # so huge-kc probe counts (Deep1B-style: B*w = 131k probes would need
     # 1.5 MB) are split into independent segment launches
-    _SEG = 65536
     outs_d, outs_p = [], []
-    for s0 in range(0, P_pad, _SEG):
-        s1 = min(s0 + _SEG, P_pad)
+    for s0 in range(0, P_pad, SEG_PROBES):
+        s1 = min(s0 + SEG_PROBES, P_pad)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=((s1 - s0) // _PB,),

@@ -124,3 +124,33 @@ def test_dense_scan_int8_dynamic_patch_matches_rebuild():
     ids_b, d_b = idx.search_padded(target[None], 5, w=8)
     np.testing.assert_array_equal(ids_a, ids_b)
     np.testing.assert_allclose(d_a, d_b, rtol=1e-5, atol=1e-5)
+
+
+def test_dense_scan_segmented_matches_single_launch(monkeypatch):
+    # huge-kc probe counts split dense_scan into multiple launches to fit
+    # the SMEM scalar-prefetch budget; shrink the segment size so the
+    # multi-segment path runs at test scale and matches one launch exactly
+    import jax.numpy as jnp
+    from ivfadc_tpu.ops import pallas_scan as ps
+
+    rng = np.random.RandomState(7)
+    kc, rows_per, d = 24, 16, 128
+    caps = np.full(kc, rows_per)
+    offsets = np.concatenate([[0], np.cumsum(caps[:-1])]).astype(np.int32)
+    sizes = np.full(kc, rows_per - 4, np.int32)
+    total = int(caps.sum()) + 1024 + 128
+    decoded = jnp.asarray(rng.randn(total, d).astype(np.float32),
+                          jnp.bfloat16)
+    B, w = 16, 4
+    cells = rng.randint(0, kc, (B, w)).astype(np.int32)
+    v = jnp.asarray(rng.randn(B, w, d).astype(np.float32))
+    base = jnp.asarray(rng.rand(B, w).astype(np.float32))
+    args = dict(k_out=5, chunk=128, norm_coef=1.0, merge="fold", nf=128,
+                interpret=True)
+    st = jnp.asarray(offsets[cells])
+    sz = jnp.asarray(sizes[cells])
+    d1, p1 = ps.dense_scan(st, sz, v, base, decoded, **args)
+    monkeypatch.setattr(ps, "SEG_PROBES", 16)   # force 4 segments (P=64)
+    d2, p2 = ps.dense_scan(st, sz, v, base, decoded, **args)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
