@@ -87,11 +87,13 @@ class IVFADCConfig:
     kmeans_block: int = 16384       # points per chunk in the assignment step
     cell_slack: float = 1.25        # padded-CSR over-allocation factor per cell
     kmeanspp_sample: int = 0        # 0 = seed k-means++ on all points; else subsample cap
-    quantization_sample: int = 0    # 0 = train PQ codebooks on all residuals;
-                                    # else on a uniform subsample of this many
-                                    # (encode always runs on everything) —
-                                    # bounds the m-way vmapped k-means
-                                    # footprint for multi-million-point builds
+    quantization_sample: int = 0    # 0 = train PQ codebooks on all residuals
+                                    # (auto-capped at 2^20 for larger builds:
+                                    # the (m, n, d/m) training layout pads
+                                    # d/m to 128 lanes and would overflow
+                                    # HBM); else train on a uniform subsample
+                                    # of this many (encode always runs on
+                                    # everything)
     score_mode: str = "reference"   # "reference": coarse_dist + sum(ADC table)
                                     #   (parity with /root/reference/src/index.jl:242-246)
                                     # "pure": sum(ADC table) only (classic IVFADC estimator)

@@ -36,6 +36,9 @@ from ivfadc_tpu.models.coarse import (NaiveCoarseQuantizer,
 from ivfadc_tpu.models.inverted import PostingStore
 from ivfadc_tpu.utils.profiling import BuildTimer
 
+# auto-cap for PQ codebook training when quantization_sample is unset (0)
+_PQ_TRAIN_AUTOCAP = 1 << 20
+
 
 @functools.partial(
     jax.jit,
@@ -279,6 +282,13 @@ class IVFADCIndex:
         with timer.phase("train_quantizer"):
             train_res = residuals
             qs = config.quantization_sample
+            if qs == 0 and n > _PQ_TRAIN_AUTOCAP:
+                # The per-subspace training layout (m, n, d/m) pads d/m up
+                # to 128 lanes — at multi-million n that padding alone
+                # overflows HBM (measured 15 GiB at n=4M, m=8, d=128). PQ
+                # codebooks estimated from 2^20 residuals are statistically
+                # indistinguishable; encoding still covers every point.
+                qs = _PQ_TRAIN_AUTOCAP
             if qs and qs < n:
                 sel = jax.random.choice(jax.random.fold_in(k_quant, 1), n,
                                         (qs,), replace=False)
