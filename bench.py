@@ -134,6 +134,9 @@ def main():
         "p50_batch_latency_ms": round(p50_batch_ms, 2),
         "max_batch_latency_ms": round(max_batch_ms, 2),
         "p50_query_latency_us": round(p50_batch_ms / batch * 1e3, 2),
+        # the chip is time-shared on tunneled runtimes: wave QPS includes
+        # contention windows; p50-batch QPS is the uncontended rate
+        "p50_batch_qps": round(batch / (p50_batch_ms / 1e3), 1),
         "n": n, "nq": nq, "batch": batch, "kc": kc,
         "backend": backend,
         "build_seconds": round(build_s, 1),
