@@ -81,7 +81,8 @@ class IVFADCConfig:
     seed: int = 0
     coarse_n_groups: int = 0        # two-level coarse: number of centroid
                                     # groups (0 = ceil(sqrt(kc)))
-    coarse_probe_groups: int = 0    # groups probed per query (0 = max(g/16, 8));
+    coarse_probe_groups: int = 0    # groups probed per query (0 = auto: g/4
+                                    # at small g tapering to g/16, min 8);
                                     # the two-level recall/speed dial
     opq_iters: int = 4              # outer alternations for OPQ rotation learning
     kmeans_block: int = 16384       # points per chunk in the assignment step

@@ -94,7 +94,6 @@ class TwoLevelCoarseQuantizer:
     members: jax.Array          # (g, gmax) int32, padded with -1
     csr_offsets: jax.Array      # (g,) int32 — 128-aligned slot starts
     csr_sizes: jax.Array        # (g,) int32 — live centroids per group
-    perm: jax.Array             # (slots_pad,) int32 slot -> centroid id, -1 pad
     cent_scan: jax.Array        # (slots_pad, d_pad) int8 group-major centroids
     cent_scale: jax.Array       # (d_pad,) f32 per-column dequant scales
     perm2d: jax.Array           # (slots_pad/128, 128) i32 — kernel id stream
@@ -138,7 +137,7 @@ class TwoLevelCoarseQuantizer:
         cent_q = np.clip(np.round(cent / scale[None, :]), -127, 127)             .astype(np.int8)
         return cls(centroids, jnp.asarray(group_centers, jnp.float32),
                    jnp.asarray(members_h), jnp.asarray(offsets, jnp.int32),
-                   jnp.asarray(counts, jnp.int32), jnp.asarray(perm),
+                   jnp.asarray(counts, jnp.int32),
                    jnp.asarray(cent_q), jnp.asarray(scale),
                    jnp.asarray(perm.reshape(-1, 128)), metric,
                    n_probe_groups)
@@ -183,7 +182,7 @@ class TwoLevelCoarseQuantizer:
         """Stage 2 via the grouped Pallas scan (sqeuclidean decomposition:
         |q-c|^2 = |q|^2 - 2 q.c + |c|^2, bf16 matmuls, f32 accumulate)."""
         from ivfadc_tpu.ops.pallas_scan import grouped_dense_scan
-        from ivfadc_tpu.ops.topk import topk_lastdim
+        from ivfadc_tpu.ops.topk import topk_lastdim_payload
         B, d = queries.shape
         chunk = 512
         v = jnp.broadcast_to((-2.0 * queries)[:, None, :], (B, gp, d))
@@ -199,7 +198,6 @@ class TwoLevelCoarseQuantizer:
         flat_d = out_d.reshape(B, gp * nf)
         flat_p = out_p.reshape(B, gp * nf)   # emitted CELL ids (perm stream)
         w_eff = min(w, gp * nf)
-        from ivfadc_tpu.ops.topk import topk_lastdim_payload
         dists, cells = topk_lastdim_payload(flat_d, flat_p, w_eff)
         cells = jnp.where(jnp.isfinite(dists) & (cells >= 0), cells, 0)
         if w_eff < w:
@@ -210,7 +208,7 @@ class TwoLevelCoarseQuantizer:
 
     def tree_flatten(self):
         return ((self.centroids, self.group_centers, self.members,
-                 self.csr_offsets, self.csr_sizes, self.perm, self.cent_scan,
+                 self.csr_offsets, self.csr_sizes, self.cent_scan,
                  self.cent_scale, self.perm2d),
                 (self.metric, self.n_probe_groups))
 
@@ -245,10 +243,13 @@ def build_two_level(key: jax.Array, centroids: jax.Array, metric: Metric,
     # probe a quarter of the groups, but never fewer than 8: at small g the
     # quarter rule prunes too hard (uniform data spreads a query's true
     # cells across groups) while 8 groups is still cheap
-    # default dial: g/16 groups (min 8) — measured on Deep1B-shape
-    # (kc=2^18, g=512, w=32): recall@10 saturates by gp=32 while gp=128
-    # costs +35% latency; the candidate pool gp*(kc/g) stays >>w
-    gp = n_probe_groups or max(min(g, 8), -(-g // 16))
+    # default dial: g/4 groups at small g, tapering to g/16 at large g —
+    # measured on Deep1B-shape (kc=2^18, g=512, w=32) recall@10 saturates
+    # by gp=32 (=g/16) while gp=128 (=g/4) costs +35% latency; at small g
+    # (kc~1e4: g~100) the candidate pool gp*(kc/g) is thinner and g/4 is
+    # needed (pinned by tests/test_topk.py's stage-2 recall bound)
+    gp = n_probe_groups or max(min(g, 8),
+                               min(-(-g // 4), max(32, -(-g // 16))))
     return TwoLevelCoarseQuantizer.create(centroids, res.centers, members,
                                           metric, gp)
 

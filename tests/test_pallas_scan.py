@@ -150,7 +150,12 @@ def test_dense_scan_segmented_matches_single_launch(monkeypatch):
     st = jnp.asarray(offsets[cells])
     sz = jnp.asarray(sizes[cells])
     d1, p1 = ps.dense_scan(st, sz, v, base, decoded, **args)
+    d1, p1 = np.asarray(d1), np.asarray(p1)
+    # dense_scan is jitted: clear the trace cache so the patched segment
+    # size reaches a fresh trace (a plain second call would be a cache hit)
     monkeypatch.setattr(ps, "SEG_PROBES", 16)   # force 4 segments (P=64)
+    import jax
+    jax.clear_caches()
     d2, p2 = ps.dense_scan(st, sz, v, base, decoded, **args)
-    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
-    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(d1, np.asarray(d2))
+    np.testing.assert_array_equal(p1, np.asarray(p2))
