@@ -537,9 +537,7 @@ class IVFADCIndex:
         residuals = q - self.coarse.centroids[jnp.asarray(cells)]
         codes = np.asarray(pq_ops.encode(self.quantizer, residuals,
                                          metric=self.quant_metric))
-        n = len(self)
-        for i in range(len(points)):
-            self.store.append(int(cells[i]), codes[i], n + i)
+        self.store.append_batch(cells, codes, len(self))
 
     def push_front(self, point) -> None:
         """Insert with id = 0, shifting every live id up by one

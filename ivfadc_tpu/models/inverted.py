@@ -253,6 +253,43 @@ class PostingStore:
         self.sizes[cell] += 1
         self._mark_dirty(slot)
 
+    def append_batch(self, cells: np.ndarray, code_rows: np.ndarray,
+                     first_ext_id: int) -> None:
+        """Bulk append: point i goes to cells[i] with id first_ext_id + i.
+        Equivalent to len(cells) sequential `append` calls (the per-cell
+        insertion order follows input order), but grouped into per-cell
+        slice writes — O(B + distinct cells) host work instead of B Python
+        round trips."""
+        self._materialize_for_mutation()
+        cells = np.asarray(cells, np.int64)
+        code_rows = np.asarray(code_rows)
+        ext = np.arange(first_ext_id, first_ext_id + len(cells), dtype=np.int64)
+        need = np.bincount(cells, minlength=self.kc)
+        for c in np.nonzero(self.sizes + need > self.caps)[0]:
+            while self.sizes[c] + need[c] > self.caps[c]:
+                self._grow_cell(int(c))
+        order = np.argsort(cells, kind="stable")
+        sorted_cells = cells[order]
+        uniq, first = np.unique(sorted_cells, return_index=True)
+        dirty = self._device is not None or self._device_dense is not None
+        new_slots = []
+        for j, c in enumerate(uniq):
+            lo = first[j]
+            hi = first[j + 1] if j + 1 < len(uniq) else len(cells)
+            cnt = hi - lo
+            o = int(self.offsets[c] + self.sizes[c])
+            sel = order[lo:hi]
+            self.codes[o:o + cnt] = code_rows[sel]
+            self.ids[o:o + cnt] = ext[sel]
+            self.sizes[c] += cnt
+            if dirty:
+                new_slots.append(np.arange(o, o + cnt))
+        if dirty:
+            slots = np.concatenate(new_slots) if new_slots else []
+            self._dirty_slots.update(int(x) for x in slots)
+            if len(self._dirty_slots) > self._DIRTY_LIMIT:
+                self._invalidate()
+
     def _grow_cell(self, cell: int) -> None:
         a = self.align
         new_caps = self.caps.copy()

@@ -233,3 +233,26 @@ def test_search_after_emptying_index(random_data):
     idx.push(data[1])
     ids, _ = idx.search(data[1], 1, w=5)
     assert list(ids) == [0]
+
+
+def test_push_batch_matches_scalar_pushes():
+    # append_batch must be observably identical to B sequential pushes,
+    # including per-cell insertion order and incremental cache patching
+    rng = np.random.RandomState(11)
+    base = rng.randn(2000, 16).astype(np.float32)
+    a = IVFADCIndex.build(base, kc=8, k=16, m=4, seed=0)
+    b = IVFADCIndex.build(base, kc=8, k=16, m=4, seed=0)
+    _ = a.search_padded(base[:4], 3, w=2)    # materialize device caches
+    _ = b.search_padded(base[:4], 3, w=2)
+    new = rng.randn(150, 16).astype(np.float32)
+    b.push_batch(new)
+    for p in new:
+        a.push(p)
+    assert np.array_equal(a.store.sizes, b.store.sizes)
+    for c in range(8):
+        ia, ca = a.store.cell_entries(c)
+        ib, cb = b.store.cell_entries(c)
+        assert np.array_equal(ia, ib) and np.array_equal(ca, cb)
+    ra, _ = a.search_padded(new[:8], 3, w=4)
+    rb, _ = b.search_padded(new[:8], 3, w=4)
+    np.testing.assert_array_equal(ra, rb)
