@@ -347,6 +347,14 @@ class IVFADCIndex:
         include_base = (self.config.score_mode == "reference"
                         or not self.quant_metric.residual_based)
         mode = self._resolve_scan_mode()
+        if mode == "dense" and k > 128:
+            # The dense kernels keep at most 128 candidates per probe (the
+            # nf-lane fold buffer, ops/pallas_scan.py); past that the scan
+            # would silently drop true neighbors ranked >128 within one
+            # cell. The reference supports arbitrary k exactly
+            # (/root/reference/src/index.jl:247-254), so route to the exact
+            # LUT engine, which scores every probed posting.
+            mode = "lut"
         if mode == "dense":
             chunk = self._effective_chunk()
             # guard padding sized to the max configured chunk so the cached

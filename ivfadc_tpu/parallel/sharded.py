@@ -246,6 +246,13 @@ class ShardedIVFADCIndex:
             raise AssertionError("k has to be >= 1")
         if w < 1:
             raise AssertionError("w has to be >= 1")
+        if self.scan_mode == "dense" and k > 128:
+            # the dense kernels keep <=128 candidates per probe; the sharded
+            # view holds decoded residuals only (no PQ codes), so there is
+            # no LUT fallback here — ask for the base index's search instead
+            raise ValueError(
+                "sharded dense search supports k <= 128; build the sharded "
+                "view from an index with scan_mode='lut' for larger k")
         cfg = self.index.config
         w = min(w, cfg.kc)
         queries = np.asarray(queries, np.float32)

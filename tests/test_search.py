@@ -41,6 +41,30 @@ def test_search_types(random_data, coarse_quantizer):
     assert np.array_equal(fids, ids)
 
 
+def test_dense_large_k_exact():
+    """k > 128 must not be silently truncated by the dense engine's 128-lane
+    candidate buffer: the index routes such queries to the exact LUT scan
+    (reference keeps exact k-best for any k, src/index.jl:247-254)."""
+    rng = np.random.RandomState(3)
+    # two tight clusters -> one probed cell holds ~1000 postings
+    data = np.concatenate([
+        rng.randn(1000, 16).astype(np.float32) * 0.05,
+        rng.randn(1000, 16).astype(np.float32) * 0.05 + 50.0])
+    dense = IVFADCIndex.build(data, kc=2, k=16, m=4, seed=0,
+                              scan_mode="dense")
+    lut = IVFADCIndex.build(data, kc=2, k=16, m=4, seed=0, scan_mode="lut")
+    q = data[:4] + 0.01
+    ids_d, dists_d = dense.search_padded(q, 200, w=1)
+    ids_l, dists_l = lut.search_padded(q, 200, w=1)
+    assert ids_d.shape == (4, 200)
+    np.testing.assert_array_equal(ids_d, ids_l)
+    np.testing.assert_allclose(dists_d, dists_l, rtol=1e-5)
+    # all 200 slots fill (the probed cell holds 1000 postings) and ranks
+    # beyond 128 are real neighbors, not padding
+    assert (ids_d >= 0).all()
+    assert (np.diff(dists_d, axis=1) >= -1e-6).all()
+
+
 @pytest.mark.parametrize("coarse_quantizer", ["naive", "hnsw"])
 def test_golden_cluster_recall(coarse_quantizer):
     # exact port of test/search.jl:26-49 (ids shifted to 0-based)
