@@ -125,9 +125,13 @@ class TwoLevelCoarseQuantizer:
         total = int(offsets[-1] + caps[-1]) + guard
         total = ((total + 127) // 128) * 128
         perm = np.full(total, -1, np.int32)
-        for gi in range(g):
-            mem = members_h[gi][members_h[gi] >= 0]
-            perm[offsets[gi]:offsets[gi] + len(mem)] = mem
+        # vectorized CSR fill (no Python loop over g — large-kc two-level
+        # builds have thousands of groups): member j of group gi lands at
+        # offsets[gi] + rank-of-j-among-live-members
+        live_r, live_c = np.nonzero(members_h >= 0)
+        # rows may hold -1 gaps anywhere, so rank = running live count per row
+        rank = (np.cumsum(members_h >= 0, axis=1) - 1)[live_r, live_c]
+        perm[offsets[live_r] + rank] = members_h[live_r, live_c]
         cent = np.zeros((total, d_pad), np.float32)
         live = perm >= 0
         cent[live, :d] = np.asarray(centroids)[perm[live]]

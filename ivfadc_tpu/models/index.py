@@ -72,22 +72,11 @@ def _search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids, queries,
     return out_ids, metric.finalize(out_dists)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "w", "chunk", "pb", "merge", "nf", "pos8",
-                     "metric", "include_base", "apply_rot", "residual_based",
-                     "interpret"))
-def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, dscale,
-                       ids2d, queries,
-                       *, k: int, w: int, chunk: int, pb: int, merge: str,
-                       nf: int, pos8: bool, metric: Metric,
-                       include_base: bool, apply_rot: bool,
-                       residual_based: bool, interpret: bool):
-    """Pallas dense-scan search: coarse probe -> cell-grouped DMA'd matmul
-    scan with on-chip top-k -> global merge. Mathematically identical scores
-    to the LUT path (up to bf16 rounding): see ops/pallas_scan.py."""
-    from ivfadc_tpu.ops.pallas_scan import grouped_dense_scan
-
+def _dense_probe(cq, rotation, queries, *, w: int, metric: Metric,
+                 include_base: bool, apply_rot: bool, residual_based: bool,
+                 interpret: bool):
+    """Coarse probe + scan-vector prep shared by the single-chip and sharded
+    dense paths. Returns (cells (B,w), v (B,w,dq), base (B,w), norm_coef)."""
     queries = queries.astype(jnp.float32)
     B = queries.shape[0]
     dq = rotation.shape[0]                                    # quantizer dim
@@ -103,11 +92,7 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, dscale,
                                    interpret=interpret)
         if fused is not None:
             cells, cdists, v, base = fused
-            return _dense_finish(cells, v, base, offsets, sizes, decoded,
-                                 ids, dscale, ids2d, metric, k=k, w=w,
-                                 chunk=chunk,
-                                 pb=pb, merge=merge, nf=nf, norm_coef=1.0,
-                                 pos8=pos8, interpret=interpret)
+            return cells, v, base, 1.0
     cells, cdists = cq.search(queries, w)
     cent = cq.centroids[cells]
     if residual_based:
@@ -129,18 +114,41 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, dscale,
         v = jnp.broadcast_to(-q[:, None, :], (B, w, q.shape[-1]))
         base = jax.vmap(metric.pairwise)(queries[:, None, :], cent)[:, 0, :]
         norm_coef = 0.0
-    return _dense_finish(cells, v, base, offsets, sizes, decoded, ids,
-                         dscale, ids2d, metric, k=k, w=w, chunk=chunk, pb=pb,
-                         merge=merge, nf=nf, norm_coef=norm_coef, pos8=pos8,
-                         interpret=interpret)
+    return cells, v, base, norm_coef
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "w", "chunk", "pb", "merge", "nf", "pos8",
+                     "metric", "include_base", "apply_rot", "residual_based",
+                     "interpret"))
+def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, dscale,
+                       ids2d, queries,
+                       *, k: int, w: int, chunk: int, pb: int, merge: str,
+                       nf: int, pos8: bool, metric: Metric,
+                       include_base: bool, apply_rot: bool,
+                       residual_based: bool, interpret: bool):
+    """Pallas dense-scan search: coarse probe -> cell-grouped DMA'd matmul
+    scan with on-chip top-k -> global merge. Mathematically identical scores
+    to the LUT path (up to bf16 rounding): see ops/pallas_scan.py."""
+    cells, v, base, norm_coef = _dense_probe(
+        cq, rotation, queries, w=w, metric=metric,
+        include_base=include_base, apply_rot=apply_rot,
+        residual_based=residual_based, interpret=interpret)
+    out_ids, out_dists = _dense_finish(
+        cells, v, base, offsets, sizes, decoded, ids, dscale, ids2d,
+        k=k, w=w, chunk=chunk, pb=pb, merge=merge, nf=nf,
+        norm_coef=norm_coef, pos8=pos8, interpret=interpret)
+    return out_ids, metric.finalize(out_dists)
 
 
 def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, dscale,
-                  ids2d, metric, *,
+                  ids2d, *,
                   k, w, chunk, pb, merge, nf, norm_coef, interpret,
                   pos8=False):
-    """Engine selection + scan + global merge (shared by the fused and
-    unfused coarse paths of `_dense_search_impl`)."""
+    """Engine selection + scan + per-device merge: returns raw (ids, dists)
+    — callers apply `metric.finalize` exactly once (the sharded path merges
+    across shards first). Shared by single-chip and shard-local search."""
     from ivfadc_tpu.ops.pallas_scan import grouped_dense_scan
     B = cells.shape[0]
     k_out = min(k, 128)
@@ -191,7 +199,7 @@ def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, dscale,
         out_ids = jnp.pad(out_ids, ((0, 0), (0, pad)), constant_values=-1)
         out_dists = jnp.pad(out_dists, ((0, 0), (0, pad)),
                             constant_values=jnp.inf)
-    return out_ids, metric.finalize(out_dists)
+    return out_ids, out_dists
 
 
 def _bucket_batch(b: int) -> int:

@@ -65,18 +65,35 @@ class PostingStore:
         self._ids_h = ids            # (total_cap,) int64, -1 = empty | None
         self._codes_dev = codes_dev  # device arrays from build_device
         self._ids_dev = ids_dev
+        self._codes_ov: Dict[int, np.ndarray] = {}  # slot -> written code row
+                                                    # (device-truth mode only)
         self._device: Optional[Dict] = None
         self._device_dense: Optional[Dict] = None
         self._dirty_slots: set = set()
+        # id -> slot map for O(1) find(); built lazily, maintained
+        # incrementally by append/remove/shift, rebuilt after bulk renumbers
+        self._slot_of: Optional[np.ndarray] = None
+        # cells sorted by offset for slot -> cell lookup (offsets become
+        # unsorted once a grown cell relocates to the end of the arrays)
+        self._cell_order: Optional[np.ndarray] = None
 
-    # ---- host views (hydrate lazily; mutation drops the build-time device
-    # arrays so later device views rebuild from host truth) ----
+    # ---- host views ----
+    # After a device-side build the flat arrays live on device only. Ids
+    # hydrate on the first dynamic op (they're the id-semantics truth and
+    # small); codes stay device-resident with a host-side OVERLAY of written
+    # rows — full codes hydration (D2H ~1 MB/s on tunneled runtimes, ~10 s
+    # at SIFT1M shape) happens only for save/introspection/bulk deletes.
     @property
     def codes(self) -> np.ndarray:
         if self._codes_h is None:
             # np.asarray of a device buffer is read-only — copy, mutators
             # write in place
             self._codes_h = np.array(self._codes_dev)
+            if self._codes_ov:
+                for slot, row in self._codes_ov.items():
+                    self._codes_h[slot] = row
+                self._codes_ov = {}
+                self._codes_dev = None   # overlay applied: host is truth now
         return self._codes_h
 
     @property
@@ -84,6 +101,69 @@ class PostingStore:
         if self._ids_h is None:
             self._ids_h = np.asarray(self._ids_dev).astype(np.int64)
         return self._ids_h
+
+    def _ids_mut(self) -> np.ndarray:
+        """Host ids for writing — once written, the device build-time ids
+        array is stale and must not seed future views."""
+        out = self.ids
+        self._ids_dev = None
+        return out
+
+    def _code_rows(self, slots: np.ndarray) -> np.ndarray:
+        """Code rows for the given slots without full hydration: one device
+        gather for the misses + overlay/host hits."""
+        slots = np.asarray(slots, np.int64)
+        if self._codes_h is not None:
+            return self._codes_h[slots]
+        rows = np.empty((len(slots), self.m), self.code_dtype)
+        miss = []
+        for i, s in enumerate(slots):
+            row = self._codes_ov.get(int(s))
+            if row is None:
+                miss.append(i)
+            else:
+                rows[i] = row
+        if miss:
+            import jax.numpy as jnp
+            midx = slots[miss]
+            rows[miss] = np.asarray(self._codes_dev[jnp.asarray(midx)])
+        return rows
+
+    def _prefetch_code_rows(self, slots: np.ndarray) -> None:
+        """Pull the given rows into the overlay with ONE device gather so a
+        following loop of single-row reads stays RPC-free."""
+        if self._codes_h is not None:
+            return
+        need = [int(s) for s in np.unique(np.asarray(slots, np.int64))
+                if int(s) not in self._codes_ov]
+        if not need:
+            return
+        import jax.numpy as jnp
+        got = np.asarray(self._codes_dev[jnp.asarray(np.asarray(need))])
+        for s, row in zip(need, got):
+            self._codes_ov[s] = row.copy()
+
+    def _write_code_row(self, slot: int, row) -> None:
+        if self._codes_h is not None:
+            self._codes_h[slot] = row
+            self._codes_dev = None    # host becomes truth on first write
+        else:
+            self._codes_ov[int(slot)] = np.asarray(row, self.code_dtype).copy()
+            if len(self._codes_ov) > self._OVERLAY_LIMIT:
+                _ = self.codes    # too many patched rows: hydrate for real
+
+    _OVERLAY_LIMIT = 65536
+
+    def _write_code_block(self, start: int, rows: np.ndarray) -> None:
+        if self._codes_h is not None:
+            self._codes_h[start:start + len(rows)] = rows
+            self._codes_dev = None    # host becomes truth on first write
+        else:
+            for j, row in enumerate(rows):
+                self._codes_ov[start + j] = np.asarray(
+                    row, self.code_dtype).copy()
+            if len(self._codes_ov) > self._OVERLAY_LIMIT:
+                _ = self.codes
 
     def _materialize_for_mutation(self) -> None:
         _ = self.codes, self.ids
@@ -161,6 +241,44 @@ class PostingStore:
         return int(self.sizes.sum())
 
     @property
+    def total_cap(self) -> int:
+        """Length of the flat arrays. Not sum(caps): a grown cell relocates
+        to the end and leaves its old region dead."""
+        if self.kc == 0:
+            return 0
+        return int((self.offsets + self.caps).max())
+
+    def _slots_to_cells(self, slots) -> np.ndarray:
+        """Map flat slot indices -> owning cells. Offsets stop being sorted
+        once a grown cell relocates, so search the offset-sorted order.
+        Callers pass live slots only (dead regions map to no cell)."""
+        if self._cell_order is None:
+            self._cell_order = np.argsort(self.offsets, kind="stable")
+        order = self._cell_order
+        pos = np.searchsorted(self.offsets[order], slots, side="right") - 1
+        return order[pos]
+
+    def _slot_map(self) -> np.ndarray:
+        """id -> slot (-1 for dead entries), built lazily in one vectorized
+        pass and maintained incrementally by append/remove."""
+        if self._slot_of is None:
+            ids = self.ids
+            live = np.nonzero(ids >= 0)[0]
+            smap = np.full(self.n, -1, np.int64)
+            smap[ids[live]] = live
+            self._slot_of = smap
+        return self._slot_of
+
+    def _note_slot(self, ext_id: int, slot: int) -> None:
+        m = self._slot_of
+        if m is None:
+            return
+        if ext_id >= len(m):
+            self._slot_of = m = np.concatenate(
+                [m, np.full(ext_id + 1 - len(m), -1, np.int64)])
+        m[ext_id] = slot
+
+    @property
     def window(self) -> int:
         """Static gather width for jitted search (>= every cell size)."""
         return _round_up(max(1, int(self.caps.max())), _LANE)
@@ -205,10 +323,11 @@ class PostingStore:
         slots = np.fromiter(dirty, np.int64, len(dirty))
         slots.sort()
         sl = jnp.asarray(slots, jnp.int32)
+        code_rows = self._code_rows(slots)
         if self._device is not None:
             d = self._device
             d["codes"] = d["codes"].at[sl].set(
-                jnp.asarray(self.codes[slots]), unique_indices=True)
+                jnp.asarray(code_rows), unique_indices=True)
             d["ids"] = d["ids"].at[sl].set(
                 jnp.asarray(self.ids[slots], jnp.int32), unique_indices=True)
             d["sizes"] = jnp.asarray(self.sizes, jnp.int32)
@@ -217,10 +336,9 @@ class PostingStore:
             dd = self._device_dense
             if dd.get("scale") is not None:
                 rows = pq_ops.decode_rotated_int8(
-                    self._dense_quantizer, self.codes[slots], dd["scale"])
+                    self._dense_quantizer, code_rows, dd["scale"])
             else:
-                rows = pq_ops.decode_rotated(self._dense_quantizer,
-                                             self.codes[slots])
+                rows = pq_ops.decode_rotated(self._dense_quantizer, code_rows)
             d_pad = dd["decoded"].shape[1] - rows.shape[1]
             if d_pad:
                 rows = jnp.pad(rows, ((0, 0), (0, d_pad)))
@@ -244,13 +362,13 @@ class PostingStore:
                     view["ids2d"] = view["ids"].reshape(-1, _LANE)
 
     def append(self, cell: int, code_row: np.ndarray, ext_id: int) -> None:
-        self._materialize_for_mutation()
         if self.sizes[cell] >= self.caps[cell]:
             self._grow_cell(cell)
         slot = int(self.offsets[cell] + self.sizes[cell])
-        self.codes[slot] = code_row
-        self.ids[slot] = ext_id
+        self._write_code_row(slot, code_row)
+        self._ids_mut()[slot] = ext_id
         self.sizes[cell] += 1
+        self._note_slot(ext_id, slot)
         self._mark_dirty(slot)
 
     def append_batch(self, cells: np.ndarray, code_rows: np.ndarray,
@@ -260,7 +378,6 @@ class PostingStore:
         insertion order follows input order), but grouped into per-cell
         slice writes — O(B + distinct cells) host work instead of B Python
         round trips."""
-        self._materialize_for_mutation()
         cells = np.asarray(cells, np.int64)
         code_rows = np.asarray(code_rows)
         ext = np.arange(first_ext_id, first_ext_id + len(cells), dtype=np.int64)
@@ -268,6 +385,7 @@ class PostingStore:
         for c in np.nonzero(self.sizes + need > self.caps)[0]:
             while self.sizes[c] + need[c] > self.caps[c]:
                 self._grow_cell(int(c))
+        self._slot_of = None          # bulk op: rebuild the map lazily
         order = np.argsort(cells, kind="stable")
         sorted_cells = cells[order]
         uniq, first = np.unique(sorted_cells, return_index=True)
@@ -279,8 +397,8 @@ class PostingStore:
             cnt = hi - lo
             o = int(self.offsets[c] + self.sizes[c])
             sel = order[lo:hi]
-            self.codes[o:o + cnt] = code_rows[sel]
-            self.ids[o:o + cnt] = ext[sel]
+            self._write_code_block(o, code_rows[sel])
+            self._ids_mut()[o:o + cnt] = ext[sel]
             self.sizes[c] += cnt
             if dirty:
                 new_slots.append(np.arange(o, o + cnt))
@@ -291,48 +409,132 @@ class PostingStore:
                 self._invalidate()
 
     def _grow_cell(self, cell: int) -> None:
+        """Double one cell's capacity by RELOCATING it to the end of the
+        flat arrays. Offsets are per-cell pointers, not sorted ranges, so
+        only this cell's rows move — O(cell + new_cap) instead of the full
+        store rewrite + kc-iteration Python loop this replaced (which took
+        minutes at Deep1B's kc=2^18). The old region goes dead until the
+        next full rebuild; amortized slack stays bounded by doubling."""
         a = self.align
-        new_caps = self.caps.copy()
-        new_caps[cell] = ((max(self.caps[cell] * 2, 16) + a - 1) // a) * a
-        new_offsets = np.zeros(self.kc, np.int64)
-        np.cumsum(new_caps[:-1], out=new_offsets[1:])
-        total = int(new_offsets[-1] + new_caps[-1])
-        new_codes = np.zeros((total, self.m), self.code_dtype)
-        new_ids = np.full(total, -1, np.int64)
-        for c in range(self.kc):
-            s = int(self.sizes[c])
+        old_off = int(self.offsets[cell])
+        s = int(self.sizes[cell])
+        new_cap = ((max(int(self.caps[cell]) * 2, 16) + a - 1) // a) * a
+        new_off = self.total_cap          # aligned: every cap is an `a`-multiple
+        new_total = new_off + new_cap
+        # -- codes storage (host truth or device truth + overlay) --
+        if self._codes_h is not None:
+            self._codes_dev = None
+            grow_rows = new_total - len(self._codes_h)
+            self._codes_h = np.concatenate(
+                [self._codes_h,
+                 np.zeros((grow_rows, self.m), self.code_dtype)])
             if s:
-                o_old, o_new = int(self.offsets[c]), int(new_offsets[c])
-                new_codes[o_new:o_new + s] = self.codes[o_old:o_old + s]
-                new_ids[o_new:o_new + s] = self.ids[o_old:o_old + s]
-        self.offsets, self.caps = new_offsets, new_caps
-        self._codes_h, self._ids_h = new_codes, new_ids
-        self._invalidate()
+                self._codes_h[new_off:new_off + s] = \
+                    self._codes_h[old_off:old_off + s]
+                self._codes_h[old_off:old_off + s] = 0
+        else:
+            import jax.numpy as jnp
+            cd = self._codes_dev
+            if cd.shape[0] < new_total:
+                cd = jnp.pad(cd, ((0, new_total - cd.shape[0]), (0, 0)))
+            if s:
+                cd = cd.at[new_off:new_off + s].set(cd[old_off:old_off + s])
+                cd = cd.at[old_off:old_off + s].set(0)
+            self._codes_dev = cd
+            if self._codes_ov:      # remap overlay rows that moved
+                self._codes_ov = {
+                    (key - old_off + new_off
+                     if old_off <= key < old_off + s else key): row
+                    for key, row in self._codes_ov.items()}
+        # -- ids storage --
+        if self._ids_h is not None:
+            grow_rows = new_total - len(self._ids_h)
+            self._ids_h = np.concatenate(
+                [self._ids_h, np.full(grow_rows, -1, np.int64)])
+            if s:
+                self._ids_h[new_off:new_off + s] = \
+                    self._ids_h[old_off:old_off + s]
+                self._ids_h[old_off:old_off + s] = -1
+        else:
+            import jax.numpy as jnp
+            di = self._ids_dev
+            if di.shape[0] < new_total:
+                di = jnp.pad(di, (0, new_total - di.shape[0]),
+                             constant_values=-1)
+            if s:
+                di = di.at[new_off:new_off + s].set(di[old_off:old_off + s])
+                di = di.at[old_off:old_off + s].set(-1)
+            self._ids_dev = di
+        if self._dirty_slots:         # remap pending patches that moved
+            self._dirty_slots = {
+                (d - old_off + new_off if old_off <= d < old_off + s else d)
+                for d in self._dirty_slots}
+        self.offsets[cell] = new_off
+        self.caps[cell] = new_cap
+        self._cell_order = None
+        self._slot_of = None
+        self._patch_views_after_grow(cell, old_off, new_off, s, new_total)
+
+    def _patch_views_after_grow(self, cell: int, old_off: int, new_off: int,
+                                s: int, new_total: int) -> None:
+        """Move the grown cell's rows inside the cached device arrays when
+        their bucketed row padding already covers the new end (the common
+        case) — otherwise drop the caches for a full rebuild."""
+        import jax.numpy as jnp
+        for view in (self._device, self._device_dense):
+            if view is None:
+                continue
+            key = "codes" if "codes" in view else "decoded"
+            need = new_total + view.get("guard", 0)
+            if view[key].shape[0] < need or view["ids"].shape[0] < need:
+                self._invalidate()
+                return
+            arr, ids_a = view[key], view["ids"]
+            if s:
+                arr = arr.at[new_off:new_off + s].set(
+                    arr[old_off:old_off + s])
+                arr = arr.at[old_off:old_off + s].set(0)
+                ids_a = ids_a.at[new_off:new_off + s].set(
+                    ids_a[old_off:old_off + s])
+                ids_a = ids_a.at[old_off:old_off + s].set(-1)
+            view[key], view["ids"] = arr, ids_a
+            view["offsets"] = jnp.asarray(self.offsets, jnp.int32)
+            if view.get("ids2d") is not None:
+                view["ids2d"] = view["ids"].reshape(-1, _LANE)
 
     def find(self, ext_id: int) -> Tuple[int, int]:
-        """-> (cell, slot). Live ids are unique; O(total) scan like the
-        reference's `_pop!` list walk (/root/reference/src/utils.jl:49-55)."""
-        hits = np.nonzero(self.ids == ext_id)[0]
-        if hits.size == 0:
+        """-> (cell, slot), O(1) via the maintained id->slot map. (The
+        reference walks every list, /root/reference/src/utils.jl:49-55; at
+        TPU scale that scan — and the full host hydration it forced —
+        dominated dynamic ops.) Touches `ids` only, never `codes`."""
+        ext_id = int(ext_id)
+        smap = self._slot_map()
+        if not (0 <= ext_id < len(smap)) or smap[ext_id] < 0:
             raise KeyError(f"id {ext_id} not in index")
-        slot = int(hits[0])
-        cell = int(np.searchsorted(self.offsets, slot, side="right") - 1)
+        slot = int(smap[ext_id])
+        cell = int(self._slots_to_cells(np.asarray([slot], np.int64))[0])
         return cell, slot
 
     def remove_slot(self, cell: int, slot: int) -> np.ndarray:
         """Swap-remove one posting; returns its code row. (Order within a cell
         is not part of the contract — the reference's delete test matches
         codes by id, not by position, test/utils.jl:84-104.)"""
-        self._materialize_for_mutation()
         last = int(self.offsets[cell] + self.sizes[cell] - 1)
-        code = self.codes[slot].copy()
-        moved_code = self.codes[last].copy()
-        moved_id = int(self.ids[last])
-        self.codes[slot] = moved_code
-        self.ids[slot] = moved_id if slot != last else -1
-        self.codes[last] = 0
-        self.ids[last] = -1
+        pair = self._code_rows(np.asarray([slot, last]))
+        code, moved_code = pair[0].copy(), pair[1].copy()
+        ids = self._ids_mut()
+        removed_id = int(ids[slot])
+        moved_id = int(ids[last])
+        self._write_code_row(slot, moved_code)
+        ids[slot] = moved_id if slot != last else -1
+        self._write_code_row(last, np.zeros(self.m, self.code_dtype))
+        ids[last] = -1
         self.sizes[cell] -= 1
+        if self._slot_of is not None:
+            if 0 <= removed_id < len(self._slot_of):
+                self._slot_of[removed_id] = -1
+            if slot != last:
+                self._note_slot(moved_id, slot)
         if slot != last:
             self._mark_dirty(slot)
         self._mark_dirty(last)
@@ -342,9 +544,10 @@ class PostingStore:
         """ids > threshold += delta over ALL cells — the reference's
         `_shift_inverse_index!` (/root/reference/src/utils.jl:16-20), here one
         vectorized masked add instead of an O(n) dict rebuild."""
-        self._materialize_for_mutation()
-        mask = self.ids > threshold
-        self.ids[mask] += delta
+        ids = self._ids_mut()
+        mask = ids > threshold
+        ids[mask] += delta
+        self._slot_of = None          # wholesale renumber: rebuild lazily
         self._dev_shift_ids(threshold, delta)
 
     def delete_ids_incremental(self, dels: np.ndarray) -> int:
@@ -359,7 +562,18 @@ class PostingStore:
         if hit_slots.size != dels.size:
             missing = np.setdiff1d(dels, self.ids[hit_slots])
             raise KeyError(f"ids not in index: {missing[:10].tolist()}")
-        cells = np.searchsorted(self.offsets, hit_slots, side="right") - 1
+        cells = self._slots_to_cells(hit_slots)
+        if self._codes_h is None:
+            # device-truth mode: prefetch every row the swap-remove loop can
+            # touch (the hits + each cell's trailing rows) in ONE gather —
+            # per-row device fetches would cost an RPC each on tunneled
+            # runtimes (~40 ms/row)
+            pre = [hit_slots]
+            for cell in np.unique(cells):
+                cnt = int((cells == cell).sum())
+                o, s = int(self.offsets[cell]), int(self.sizes[cell])
+                pre.append(np.arange(o + s - cnt, o + s, dtype=np.int64))
+            self._prefetch_code_rows(np.concatenate(pre))
         for cell in np.unique(cells):
             slots = hit_slots[cells == cell]
             for slot in np.sort(slots)[::-1]:
@@ -370,8 +584,10 @@ class PostingStore:
                         and dels[np.searchsorted(dels, self.ids[slot])] == \
                         self.ids[slot]:
                     self.remove_slot(int(cell), int(slot))
-        live = self.ids >= 0
-        self.ids[live] -= np.searchsorted(dels, self.ids[live])
+        ids = self._ids_mut()
+        live = ids >= 0
+        ids[live] -= np.searchsorted(dels, ids[live])
+        self._slot_of = None
         self._dev_rank_shift(dels)
         return int(dels.size)
 
@@ -402,7 +618,7 @@ class PostingStore:
         if hit_slots.size != dels.size:
             missing = np.setdiff1d(dels, self.ids[hit_slots])
             raise KeyError(f"ids not in index: {missing[:10].tolist()}")
-        cells = np.searchsorted(self.offsets, hit_slots, side="right") - 1
+        cells = self._slots_to_cells(hit_slots)
         for cell in np.unique(cells):
             o, s = int(self.offsets[cell]), int(self.sizes[cell])
             keep = ~hit[o:o + s]
@@ -414,6 +630,7 @@ class PostingStore:
             self.sizes[cell] = kept
         live = self.ids >= 0
         self.ids[live] -= np.searchsorted(dels, self.ids[live])
+        self._slot_of = None
         self._invalidate()
         return int(dels.size)
 
@@ -425,11 +642,25 @@ class PostingStore:
         b = 65536 if rows > 65536 else 1024
         return _round_up(rows, b)
 
+    def _sync_overlay_to_dev(self) -> None:
+        """Fold the written-row overlay into the device truth array (one
+        batched scatter) so a fresh view can be built straight from it."""
+        if not self._codes_ov or self._codes_dev is None:
+            return
+        import jax.numpy as jnp
+        slots = np.fromiter(self._codes_ov.keys(), np.int64,
+                            len(self._codes_ov))
+        rows = np.stack([self._codes_ov[int(s)] for s in slots])
+        self._codes_dev = self._codes_dev.at[jnp.asarray(slots)].set(
+            jnp.asarray(rows), unique_indices=True)
+        self._codes_ov = {}
+
     def device_view(self) -> Dict:
         """Cached jnp arrays for the jitted LUT search path."""
         self._flush_dirty()
         if self._device is None:
             import jax.numpy as jnp
+            self._sync_overlay_to_dev()
             codes = self._codes_dev if self._codes_dev is not None \
                 else jnp.asarray(self.codes)
             ids = self._ids_dev if self._ids_dev is not None \
@@ -466,6 +697,7 @@ class PostingStore:
         if self._device_dense is None:
             import jax.numpy as jnp
             from ivfadc_tpu.ops import pq as pq_ops
+            self._sync_overlay_to_dev()
             src_codes = self._codes_dev if self._codes_dev is not None \
                 else self.codes
             if cache == "int8":
@@ -504,5 +736,7 @@ class PostingStore:
                 ids2d=ids2d,
                 scale=scale,
                 cache=cache,
+                guard=chunk + _LANE,   # DMA overrun margin required past
+                                       # the last cell (grow-patch checks it)
             )
         return self._device_dense

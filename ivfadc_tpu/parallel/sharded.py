@@ -39,117 +39,120 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def partition_store(store, n_shards: int):
+def partition_store(store, n_shards: int, align: int = 0):
     """Split one PostingStore into S stacked per-shard CSR array sets.
 
     Cells are dealt round-robin (cell c -> shard c % S) so load is balanced
     in expectation. Every shard keeps (kc,) offset/size arrays — non-local
     cells have size 0 and scan as empty windows, exactly like the reference's
-    empty-cell tolerance (SURVEY §2.3).
+    empty-cell tolerance (SURVEY §2.3). Fully vectorized (no Python loop
+    over kc — Deep1B's kc=2^18 took minutes of interpreter time before).
+
+    `align` (default: the store's own alignment) sets per-shard cell-start
+    alignment: 128 keeps lane-aligned starts so the grouped scan kernel can
+    stream ids and emit external ids in-kernel, exactly like single-chip.
     Returns dict of np arrays with leading shard axis.
     """
     kc, m = store.kc, store.m
-    sizes_per = np.zeros((n_shards, kc), np.int32)
-    for c in range(kc):
-        sizes_per[c % n_shards, c] = store.sizes[c]
-    caps_per = np.maximum(8, ((sizes_per + 8 + 7) // 8) * 8)
-    # uniform per-shard capacity so arrays stack
+    a = align or store.align
+    cells = np.arange(kc)
+    owners = cells % n_shards
+    sizes_per = np.zeros((n_shards, kc), np.int64)
+    sizes_per[owners, cells] = store.sizes
+    caps_per = np.maximum(a, ((sizes_per + 8 + a - 1) // a) * a)
     offsets_per = np.zeros((n_shards, kc), np.int64)
-    for s in range(n_shards):
-        np.cumsum(caps_per[s, :-1], out=offsets_per[s, 1:])
+    np.cumsum(caps_per[:, :-1], axis=1, out=offsets_per[:, 1:])
     totals = offsets_per[:, -1] + caps_per[:, -1]
     cap_shard = _round_up(int(totals.max()), _LANE)
     codes = np.zeros((n_shards, cap_shard, m), store.code_dtype)
     ids = np.full((n_shards, cap_shard), -1, np.int64)
-    for c in range(kc):
-        s = c % n_shards
-        o_src, sz = int(store.offsets[c]), int(store.sizes[c])
-        o_dst = int(offsets_per[s, c])
-        codes[s, o_dst:o_dst + sz] = store.codes[o_src:o_src + sz]
-        ids[s, o_dst:o_dst + sz] = store.ids[o_src:o_src + sz]
+    # one gather/scatter pair over all live rows: row r of cell c goes from
+    # base slot offsets[c]+r to shard-(c%S) slot offsets_per[c%S, c]+r
+    sz = np.asarray(store.sizes, np.int64)
+    tot = int(sz.sum())
+    if tot:
+        cell_rep = np.repeat(cells, sz)
+        within = np.arange(tot, dtype=np.int64) - \
+            np.repeat(np.cumsum(sz) - sz, sz)
+        src = np.asarray(store.offsets, np.int64)[cell_rep] + within
+        shard_rep = owners[cell_rep]
+        dst = offsets_per[shard_rep, cell_rep] + within
+        codes[shard_rep, dst] = store.codes[src]
+        ids[shard_rep, dst] = store.ids[src]
     window = _round_up(max(1, int(sizes_per.max())), _LANE)
     return dict(offsets=offsets_per.astype(np.int32),
                 sizes=sizes_per.astype(np.int32),
-                codes=codes, ids=ids.astype(np.int32), window=window)
+                codes=codes, ids=ids.astype(np.int32), window=window,
+                align=a, max_cap=int(caps_per.max()))
+
+
+def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
+                        ids2d_l, q_l, *, k, w, metric, include_base,
+                        apply_rot, residual_based, chunk, pb, merge, nf,
+                        pos8, interpret):
+    """Shard-local dense search — the exact single-chip pipeline (fused
+    coarse probe + grouped scan + in-kernel id emission) run on the local
+    CSR arrays. Returns raw per-shard (B, k) candidates."""
+    from ivfadc_tpu.models.index import _dense_finish, _dense_probe
+    cells, v, base, norm_coef = _dense_probe(
+        cq_l, rot_l, q_l, w=w, metric=metric, include_base=include_base,
+        apply_rot=apply_rot, residual_based=residual_based,
+        interpret=interpret)
+    return _dense_finish(
+        cells, v, base, off_l, siz_l, dec_l, ids_l, scale_l, ids2d_l,
+        k=k, w=w, chunk=chunk, pb=pb, merge=merge, nf=nf,
+        norm_coef=norm_coef, pos8=pos8, interpret=interpret)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "k", "w", "window", "metric", "include_base",
                      "apply_rot", "residual_based", "dense", "chunk", "pb",
-                     "merge", "nf", "interpret"))
+                     "merge", "nf", "pos8", "interpret"))
 def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
-                         dscale, queries, *, mesh, k: int, w: int, window: int,
+                         dscale, ids2d, queries, *, mesh, k: int, w: int,
+                         window: int,
                          metric: Metric, include_base: bool, apply_rot: bool,
                          residual_based: bool, dense: bool = False,
                          chunk: int = 1024, pb: int = 32,
                          merge: str = "exact", nf: int = 128,
-                         interpret: bool = False):
+                         pos8: bool = False, interpret: bool = False):
     """Queries (B, d) replicated over shard / sharded over data; per-shard CSR
     arrays stacked on a leading shard axis. `codes` is the flat PQ-code array
-    in LUT mode or the decoded bf16 residual array in dense mode. Returns
+    in LUT mode or the decoded residual cache in dense mode. Returns
     replicated-over-shard (B, k) global ids + dists."""
 
     def local_search(cq_l, cb_l, rot_l, off_l, siz_l, cod_l, ids_l, scale_l,
-                     q_l):
+                     ids2d_l, q_l):
         # strip the leading per-shard axis added by shard_map
         off_l, siz_l = off_l[0], siz_l[0]
         cod_l, ids_l = cod_l[0], ids_l[0]
-        cells, cdists = cq_l.search(q_l, w)
-        cent = cq_l.centroids[cells]
-        if residual_based:
-            vecs = q_l[:, None, :] - cent
-            base = cdists if include_base else jnp.zeros_like(cdists)
-        else:
-            vecs = jnp.broadcast_to(q_l[:, None, :],
-                                    (q_l.shape[0], w, q_l.shape[1]))
-            base = jax.vmap(metric.pairwise)(q_l[:, None, :], cent)[:, 0, :]
-        dq = rot_l.shape[0]
-        if vecs.shape[-1] != dq:        # ragged-subspace zero padding
-            vecs = jnp.pad(vecs, ((0, 0), (0, 0), (0, dq - vecs.shape[-1])))
-        if apply_rot:
-            vecs = vecs @ rot_l
+        if ids2d_l is not None:
+            ids2d_l = ids2d_l[0]
         if dense:
-            # Pallas grouped scan per shard (the TPU fast path)
-            B_l = q_l.shape[0]
-            if residual_based:
-                vden = -2.0 * vecs
-                base_d = jnp.sum(vecs * vecs, axis=-1) + (
-                    cdists if include_base else 0.0)
-                norm_coef = 1.0
-            else:
-                vden = -vecs
-                base_d = base
-                norm_coef = 0.0
-            out_d, out_p = grouped_dense_scan(
-                cells, off_l, siz_l, vden, base_d, cod_l, scale_l,
-                kc=off_l.shape[0], k_out=min(k, 128), chunk=chunk,
-                norm_coef=norm_coef, pb=pb, merge=merge,
-                nf=nf if merge == "fold" else 128, interpret=interpret)
-            n_cand = out_d.shape[-1]
-            flat_d = out_d.reshape(B_l, w * n_cand)
-            flat_p = out_p.reshape(B_l, w * n_cand)
-            neg, which = jax.lax.top_k(-flat_d, min(k, w * n_cand))
-            sel = jnp.take_along_axis(flat_p, which, axis=1)
-            if merge == "fold":
-                # fold emits per-cell chunk-block indices (pallas_scan.py)
-                blk = sel.astype(jnp.int32)
-                probe = which // n_cand
-                start = jnp.take_along_axis(off_l[cells], probe, axis=1)
-                pos = jnp.where(blk >= 0, start + blk * 128 + which % 128, -1)
-            else:
-                pos = sel
-            loc_ids = jnp.where(pos >= 0,
-                                ids_l[jnp.where(pos >= 0, pos, 0)], -1)
-            loc_d = -neg
-            loc_ids = jnp.where(jnp.isfinite(loc_d), loc_ids, -1)
-            if loc_d.shape[1] < k:
-                padk = k - loc_d.shape[1]
-                loc_ids = jnp.pad(loc_ids, ((0, 0), (0, padk)),
-                                  constant_values=-1)
-                loc_d = jnp.pad(loc_d, ((0, 0), (0, padk)),
-                                constant_values=jnp.inf)
+            loc_ids, loc_d = _local_search_dense(
+                cq_l, rot_l, off_l, siz_l, cod_l, ids_l, scale_l, ids2d_l,
+                q_l, k=k, w=w, metric=metric, include_base=include_base,
+                apply_rot=apply_rot, residual_based=residual_based,
+                chunk=chunk, pb=pb, merge=merge, nf=nf, pos8=pos8,
+                interpret=interpret)
         else:
+            cells, cdists = cq_l.search(q_l, w)
+            cent = cq_l.centroids[cells]
+            if residual_based:
+                vecs = q_l[:, None, :] - cent
+                base = cdists if include_base else jnp.zeros_like(cdists)
+            else:
+                vecs = jnp.broadcast_to(q_l[:, None, :],
+                                        (q_l.shape[0], w, q_l.shape[1]))
+                base = jax.vmap(metric.pairwise)(q_l[:, None, :],
+                                                 cent)[:, 0, :]
+            dq = rot_l.shape[0]
+            if vecs.shape[-1] != dq:    # ragged-subspace zero padding
+                vecs = jnp.pad(vecs,
+                               ((0, 0), (0, 0), (0, dq - vecs.shape[-1])))
+            if apply_rot:
+                vecs = vecs @ rot_l
             tables = build_adc_tables(metric, vecs, codebooks=cb_l)
             loc_ids, loc_d = scan_postings(tables, base, cells, off_l, siz_l,
                                            cod_l, ids_l, k=k, window=window)
@@ -167,11 +170,11 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
     fn = shard_map(
         local_search, mesh=mesh,
         in_specs=(P(), P(), P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
-                  P(SHARD_AXIS), P(), P(DATA_AXIS)),
+                  P(SHARD_AXIS), P(), P(SHARD_AXIS), P(DATA_AXIS)),
         out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
         check_vma=False)
     out_ids, out_d = fn(cq, codebooks, rotation, offsets, sizes, codes, ids,
-                        dscale, queries.astype(jnp.float32))
+                        dscale, ids2d, queries.astype(jnp.float32))
     return out_ids, metric.finalize(out_d)
 
 
@@ -192,7 +195,10 @@ class ShardedIVFADCIndex:
         self.scan_mode = index._resolve_scan_mode()
         parts = partition_store(index.store, self.n_shards)
         self.window = parts.pop("window")
+        align = parts.pop("align")
+        self.pos8 = parts.pop("max_cap") <= 127 * _LANE
         self.scale = None
+        self.ids2d = None
         if self.scan_mode == "dense":
             # per-shard decoded residual caches (rotated space, bf16 or int8
             # matching the base index's scan_cache resolution), guard-padded
@@ -219,6 +225,11 @@ class ShardedIVFADCIndex:
             parts["ids"] = np.pad(parts["ids"], ((0, 0), (0, chunk + 128)),
                                   constant_values=-1)
             self.scale = scale
+            if align % _LANE == 0 and parts["ids"].shape[1] % _LANE == 0:
+                # lane-aligned cell starts: the grouped kernel streams id
+                # rows and emits external ids in-kernel, same as single-chip
+                parts["ids2d"] = parts["ids"].reshape(
+                    self.n_shards, -1, _LANE)
         shard_sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
         self.arrays = {
             name: jax.device_put(arr, shard_sharding)
@@ -267,7 +278,8 @@ class ShardedIVFADCIndex:
         ids, dists = _sharded_search_impl(
             self.coarse, self.codebooks, self.rotation,
             self.arrays["offsets"], self.arrays["sizes"],
-            self.arrays["codes"], self.arrays["ids"], self.scale, q,
+            self.arrays["codes"], self.arrays["ids"], self.scale,
+            self.arrays.get("ids2d"), q,
             mesh=self.mesh, k=k, w=w, window=self.window,
             metric=self.index.quant_metric, include_base=include_base,
             apply_rot=self.index.quantizer.method == "opq",
@@ -275,6 +287,6 @@ class ShardedIVFADCIndex:
             dense=self.scan_mode == "dense",
             chunk=self.index._effective_chunk(), pb=cfg.scan_pb,
             merge=self.index._resolve_merge_mode(),
-            nf=cfg.scan_fold_lanes,
+            nf=cfg.scan_fold_lanes, pos8=self.pos8,
             interpret=jax.default_backend() == "cpu")
         return np.asarray(ids)[:B], np.asarray(dists)[:B]

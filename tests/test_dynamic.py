@@ -256,3 +256,34 @@ def test_push_batch_matches_scalar_pushes():
     ra, _ = a.search_padded(new[:8], 3, w=4)
     rb, _ = b.search_padded(new[:8], 3, w=4)
     np.testing.assert_array_equal(ra, rb)
+
+
+def test_dynamic_ops_without_codes_hydration():
+    """After a device-side build, push/pop/delete/search must all work
+    WITHOUT hydrating the full codes array to host (D2H of the whole store
+    costs ~10 s on tunneled runtimes; VERDICT r1 item 7). Code rows move
+    through the per-slot overlay + single-row device fetches instead."""
+    rng = np.random.RandomState(7)
+    data = rng.randn(3000, 16).astype(np.float32)
+    idx = IVFADCIndex.build(data, kc=8, k=32, m=4, seed=0)
+    assert idx.store._codes_h is None            # device-side build
+    # shadow: same index force-hydrated, mutated identically
+    shadow = IVFADCIndex.build(data, kc=8, k=32, m=4, seed=0)
+    shadow.store._materialize_for_mutation()
+
+    q = data[:32]
+    for step in range(4):
+        p = rng.randn(16).astype(np.float32)
+        idx.push(p)
+        shadow.push(p)
+        dels = [int(rng.randint(0, len(idx)))] if step % 2 else [0, 5, 11]
+        idx.delete(dels)
+        shadow.delete(dels)
+        v1 = idx.pop()
+        v2 = shadow.pop()
+        np.testing.assert_allclose(v1, v2, rtol=1e-5)
+        i1, d1 = idx.search_padded(q, 5, w=4)
+        i2, d2 = shadow.search_padded(q, 5, w=4)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-4)
+    assert idx.store._codes_h is None, "dynamic ops hydrated codes"

@@ -118,6 +118,17 @@ def test_sharded_dense_scan_matches_single_chip(base_index):
     assert np.mean(same) == 1.0
     np.testing.assert_allclose(np.sort(d_s, 1), np.sort(d_1, 1),
                                rtol=2e-2, atol=1e-2)
+    # grouped-engine regime (B_local*w >= 4*kc): exercises the cell-grouped
+    # kernel + in-kernel external-id emission (ids2d) inside shard_map
+    assert sidx.arrays.get("ids2d") is not None
+    q2 = base[:64]
+    ids_s2, d_s2 = sidx.search_padded(q2, 10, w=8)
+    ids_12, d_12 = idx.search_padded(q2, 10, w=8)
+    same2 = [set(a[a >= 0]) == set(b[b >= 0])
+             for a, b in zip(ids_s2, ids_12)]
+    assert np.mean(same2) == 1.0
+    np.testing.assert_allclose(np.sort(d_s2, 1), np.sort(d_12, 1),
+                               rtol=2e-2, atol=1e-2)
 
 
 def test_sharded_refresh_after_dynamic_ops(random_data):
