@@ -84,8 +84,18 @@ class PostingStore:
     # rows — full codes hydration (D2H ~1 MB/s on tunneled runtimes, ~10 s
     # at SIFT1M shape) happens only for save/introspection/bulk deletes.
     @property
+    def has_payload(self) -> bool:
+        """False for a metadata-only store (distributed build): the cell
+        layout/histogram exists but codes/ids live sharded on the mesh."""
+        return not (self._codes_h is None and self._codes_dev is None)
+
+    @property
     def codes(self) -> np.ndarray:
         if self._codes_h is None:
+            if self._codes_dev is None:
+                raise RuntimeError(
+                    "metadata-only PostingStore (distributed build) has no "
+                    "host payload — search/save through the sharded view")
             # np.asarray of a device buffer is read-only — copy, mutators
             # write in place
             self._codes_h = np.array(self._codes_dev)
@@ -99,6 +109,10 @@ class PostingStore:
     @property
     def ids(self) -> np.ndarray:
         if self._ids_h is None:
+            if self._ids_dev is None:
+                raise RuntimeError(
+                    "metadata-only PostingStore (distributed build) has no "
+                    "host payload — search/save through the sharded view")
             self._ids_h = np.asarray(self._ids_dev).astype(np.int64)
         return self._ids_h
 

@@ -29,29 +29,47 @@ from ivfadc_tpu.ops.metrics import Metric, SQEUCLIDEAN
 from ivfadc_tpu.parallel.mesh import DATA_AXIS, SHARD_AXIS
 
 
-def _local_stats(x_local, mask_local, centers, metric: Metric):
-    """Per-device Lloyd sufficient statistics: (sums (k,d), counts (k,))."""
-    k = centers.shape[0]
-    dist = metric.pairwise(x_local, centers)
-    a = jnp.argmin(dist, axis=1).astype(jnp.int32)
-    onehot = jax.nn.one_hot(a, k, dtype=jnp.float32) * mask_local[:, None]
-    sums = jnp.dot(onehot.T, x_local, preferred_element_type=jnp.float32)
-    counts = jnp.sum(onehot, axis=0)
-    return a, sums, counts
+def _local_stats(x_local, mask_local, centers, metric: Metric,
+                 block: int = 16384):
+    """Per-device Lloyd sufficient statistics: (sums (k,d), counts (k,)).
+
+    Blocked with `lax.map` so the (block, k) distance matrix — not the full
+    (n_local, k) one — is the peak temporary (Deep1B-scale kc would otherwise
+    materialize gigabytes per device)."""
+    k, d = centers.shape
+    nl = x_local.shape[0]
+    block = min(block, nl)
+    nb = -(-nl // block)
+    pad = nb * block - nl
+    xb = jnp.pad(x_local, ((0, pad), (0, 0))).reshape(nb, block, d)
+    mb = jnp.pad(mask_local, (0, pad)).reshape(nb, block)
+
+    def per_block(args):
+        xl, ml = args
+        dist = metric.pairwise(xl, centers)
+        a = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        onehot = jax.nn.one_hot(a, k, dtype=jnp.float32) * ml[:, None]
+        sums = jnp.dot(onehot.T, xl, preferred_element_type=jnp.float32)
+        return a, sums, jnp.sum(onehot, axis=0)
+
+    a_b, sums_b, counts_b = jax.lax.map(per_block, (xb, mb))
+    return (a_b.reshape(-1)[:nl], jnp.sum(sums_b, axis=0),
+            jnp.sum(counts_b, axis=0))
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "metric"))
-def distributed_kmeans_step(centers, x, mask, *, mesh, metric: Metric):
-    """One exact Lloyd iteration with points sharded over the data axis.
+@functools.partial(jax.jit, static_argnames=("mesh", "metric", "axes"))
+def distributed_kmeans_step(centers, x, mask, *, mesh, metric: Metric,
+                            axes=(DATA_AXIS,)):
+    """One exact Lloyd iteration with points sharded over `axes`.
 
-    centers (k, d) replicated; x (n, d) and mask (n,) sharded on DATA_AXIS.
+    centers (k, d) replicated; x (n, d) and mask (n,) sharded on `axes`.
     Returns (new_centers replicated, assignments sharded).
     """
 
     def step(centers_l, x_l, mask_l):
         a, sums, counts = _local_stats(x_l, mask_l, centers_l, metric)
-        sums = jax.lax.psum(sums, DATA_AXIS)
-        counts = jax.lax.psum(counts, DATA_AXIS)
+        sums = jax.lax.psum(sums, axes)
+        counts = jax.lax.psum(counts, axes)
         new_centers = sums / jnp.maximum(counts[:, None], 1.0)
         # keep old center for empty clusters (repair is a host-side concern
         # in the distributed path)
@@ -60,41 +78,53 @@ def distributed_kmeans_step(centers, x, mask, *, mesh, metric: Metric):
 
     fn = shard_map(
         step, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=(P(), P(DATA_AXIS)),
+        in_specs=(P(), P(axes), P(axes)),
+        out_specs=(P(), P(axes)),
         check_vma=False)
     return fn(centers, x, mask)
 
 
-def distributed_kmeans(key, x: np.ndarray, k: int, mesh, *,
-                       maxiter: int = 25, metric: Metric = SQEUCLIDEAN
+def distributed_kmeans(key, x, k: int, mesh, *,
+                       maxiter: int = 25, metric: Metric = SQEUCLIDEAN,
+                       mask=None, n_valid: int = 0, axes=(DATA_AXIS,)
                        ) -> Tuple[jax.Array, jax.Array]:
-    """Full data-parallel Lloyd k-means over the mesh's data axis.
+    """Full data-parallel Lloyd k-means over the given mesh axes.
 
-    Seeds from a host-side k-means++ on a subsample (cheap, replicated),
+    `x` is either a host (n, d) array (padded + uploaded here) or a device
+    array already sharded over `axes` (pass its validity `mask` and the true
+    point count `n_valid`). Seeds from k-means++ on a replicated subsample,
     then runs `maxiter` exact distributed iterations.
-    Returns (centers (k, d), assignments (n,)).
+    Returns (centers (k, d) replicated, assignments (n,) sharded).
     """
     from ivfadc_tpu.ops.kmeans import kmeans_plus_plus
 
-    n, d = x.shape
-    n_data = mesh.shape[DATA_AXIS]
-    n_pad = ((n + n_data - 1) // n_data) * n_data
-    xp = np.pad(np.asarray(x, np.float32), ((0, n_pad - n), (0, 0)))
-    maskp = np.pad(np.ones(n, np.float32), (0, n_pad - n))
-    data_sh = NamedSharding(mesh, P(DATA_AXIS))
-    xd = jax.device_put(xp, data_sh)
-    maskd = jax.device_put(maskp, data_sh)
+    axes = tuple(axes) if isinstance(axes, (tuple, list)) else (axes,)
+    n_dev = int(np.prod([mesh.shape[ax] for ax in axes]))
+    axes_sh = NamedSharding(mesh, P(axes))
+    if isinstance(x, jax.Array) and mask is not None:
+        xd, maskd = x, mask
+        n = n_valid or x.shape[0]
+    else:
+        x = np.asarray(x, np.float32)
+        n = x.shape[0]
+        n_pad = ((n + n_dev - 1) // n_dev) * n_dev
+        xd = jax.device_put(np.pad(x, ((0, n_pad - n), (0, 0))), axes_sh)
+        maskd = jax.device_put(
+            np.pad(np.ones(n, np.float32), (0, n_pad - n)), axes_sh)
 
-    sample = np.asarray(x[np.random.RandomState(0).choice(
-        n, min(n, max(k * 16, 1024)), replace=False)], np.float32)
-    centers = kmeans_plus_plus(key, jnp.asarray(sample), k, metric)
+    # k-means++ on a replicated subsample (gathered device-side when the
+    # input is already sharded — the sample is tiny)
+    n_samp = min(n, max(k * 16, 1024))
+    sel = np.sort(np.random.RandomState(0).choice(n, n_samp, replace=False))
+    sample = jnp.asarray(np.asarray(x)[sel]) if not isinstance(x, jax.Array) \
+        else xd[jnp.asarray(sel)]
+    centers = kmeans_plus_plus(key, sample, k, metric)
     centers = jax.device_put(np.asarray(centers), NamedSharding(mesh, P()))
 
     assignments = None
     for _ in range(maxiter):
         centers, assignments = distributed_kmeans_step(
-            centers, xd, maskd, mesh=mesh, metric=metric)
+            centers, xd, maskd, mesh=mesh, metric=metric, axes=axes)
     return centers, assignments[:n]
 
 

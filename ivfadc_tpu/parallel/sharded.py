@@ -192,6 +192,7 @@ class ShardedIVFADCIndex:
         self.index = index
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_shards = self.mesh.shape[SHARD_AXIS]
+        self._distributed_build = False
         self.scan_mode = index._resolve_scan_mode()
         parts = partition_store(index.store, self.n_shards)
         self.window = parts.pop("window")
@@ -245,10 +246,95 @@ class ShardedIVFADCIndex:
         self.coarse = jax.tree_util.tree_map(
             lambda a: jax.device_put(np.asarray(a), repl), index.coarse)
 
+    # ------------------------------------------------------------------ build
+    @classmethod
+    def build(cls, data, mesh=None, config=None, **kwargs
+              ) -> "ShardedIVFADCIndex":
+        """Distributed end-to-end build: train + encode + shard WITHOUT ever
+        materializing the full index on one host/device (SURVEY §5, §7 M4 —
+        the regime where the flat arrays cannot fit a single chip). Every
+        stage is a shard_map program over the mesh; see parallel/build.py.
+
+        The returned view serves search only; its `.index` is a metadata-only
+        base (config + trained quantizers + cell histogram, no payload).
+        """
+        from ivfadc_tpu.config import IVFADCConfig
+        from ivfadc_tpu.ops import pq as pq_ops
+        from ivfadc_tpu.parallel.build import (build_distributed_parts,
+                                               _decode_shard_caches)
+
+        if config is None:
+            config = IVFADCConfig(**kwargs)
+        elif kwargs:
+            raise TypeError("pass either a config or kwargs, not both")
+        mesh = mesh if mesh is not None else make_mesh(n_data=1)
+        parts, coarse, quantizer, glayout = \
+            build_distributed_parts(data, mesh, config)
+
+        from ivfadc_tpu.models.inverted import PostingStore
+        store = PostingStore(
+            config.kc, config.m, np.dtype(config.code_dtype),
+            offsets=glayout["offsets"], caps=glayout["caps"],
+            sizes=glayout["sizes"], codes=None, ids=None)
+        base = IVFADCIndex(config, coarse, quantizer, store,
+                           np.dtype(np.float32), int(data.shape[1]))
+
+        self = object.__new__(cls)
+        self.index = base
+        self.mesh = mesh
+        self.n_shards = mesh.shape[SHARD_AXIS]
+        self._distributed_build = True
+        self.scan_mode = base._resolve_scan_mode()
+        self.window = parts["window"]
+        self.pos8 = parts["max_cap"] <= 127 * _LANE
+        self.scale = None
+        shard_sh = NamedSharding(mesh, P(SHARD_AXIS))
+        repl = NamedSharding(mesh, P())
+        arrays = {
+            "offsets": jax.device_put(parts["offsets"], shard_sh),
+            "sizes": jax.device_put(parts["sizes"], shard_sh),
+            "ids": parts["ids"],                 # already shard-sharded
+        }
+        # PQ codes stay resident per shard: they are the LUT-mode scan input
+        # and the compact payload for shard-aware persistence
+        self.shard_pq_codes = parts["pq_codes"]
+        if self.scan_mode == "dense":
+            cache = base._resolve_cache()
+            scale = pq_ops.cache_scale(quantizer) if cache == "int8" else None
+            dec = _decode_shard_caches(quantizer.codebooks,
+                                       parts["pq_codes"], scale,
+                                       int8=cache == "int8")
+            dq = dec.shape[-1]
+            d_pad = _round_up(dq, _LANE) - dq
+            if d_pad:
+                dec = jnp.pad(dec, ((0, 0), (0, 0), (0, d_pad)))
+                if scale is not None:
+                    scale = jnp.pad(scale, (0, d_pad), constant_values=1.0)
+            arrays["codes"] = dec
+            if parts["align"] % _LANE == 0:
+                arrays["ids2d"] = parts["ids"].reshape(
+                    self.n_shards, -1, _LANE)
+            if scale is not None:
+                self.scale = jax.device_put(np.asarray(scale), repl)
+        else:
+            arrays["codes"] = parts["pq_codes"]
+        self.arrays = arrays
+        self.codebooks = jax.device_put(
+            np.asarray(quantizer.codebooks), repl)
+        self.rotation = jax.device_put(
+            np.asarray(quantizer.rotation), repl)
+        self.coarse = jax.tree_util.tree_map(
+            lambda a: jax.device_put(np.asarray(a), repl), coarse)
+        return self
+
     def refresh(self) -> None:
         """Re-partition and re-upload the shard arrays from the base index —
         call after dynamic ops (push/delete) on the underlying IVFADCIndex;
         the sharded view is otherwise a build-time snapshot."""
+        if self._distributed_build:
+            raise NotImplementedError(
+                "a distributed-built sharded index has no single-host base "
+                "to re-partition from; rebuild with ShardedIVFADCIndex.build")
         self.__init__(self.index, self.mesh)
 
     def search_padded(self, queries: np.ndarray, k: int, w: int = 1
