@@ -1,0 +1,155 @@
+"""Shard-aware persistence: one payload file per shard + a manifest.
+
+The reference serializes the whole index into one file
+(/root/reference/src/persistency.jl:1-305); at multi-host scale the full
+payload cannot round-trip through one process, so a sharded index saves as a
+DIRECTORY (SURVEY §5 plan: "shard-aware save (one file per host)"):
+
+    manifest.json    — format version, config, dims, shard roster
+    common.npz       — centroids, codebooks, rotation, two-level arrays,
+                       global cell layout (tiny, replicated state)
+    shard_00000.npz  — shard 0's CSR payload: per-shard offsets/sizes +
+    ...                PQ codes + ids (compact codes, NOT the decoded cache —
+                       caches are rebuilt on device at load)
+
+Each process writes only the shard blocks it actually holds
+(`addressable_shards`), so a multi-host save needs no cross-host traffic;
+`load_sharded_index` restores the serving view onto a mesh and rebuilds the
+decoded scan caches device-side. Like the single-index format, the header is
+plain JSON — no code execution on load (deliberate fix of the reference's
+`eval`-the-type-name pattern, /root/reference/src/persistency.jl:86-92).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict
+
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+def _local_shard_blocks(arr) -> Dict[int, np.ndarray]:
+    """shard-id -> this process's copy of that shard's block (leading shard
+    axis stripped). Replicas (data-axis copies) dedup to one entry."""
+    out: Dict[int, np.ndarray] = {}
+    for sh in arr.addressable_shards:
+        idx = sh.index[0]
+        s = 0 if idx == slice(None) else int(idx.start or 0)
+        if s not in out:
+            out[s] = np.asarray(sh.data)[0]
+    return out
+
+
+def save_sharded_index(path: str, sidx) -> None:
+    """Save a ShardedIVFADCIndex as a directory (see module docstring)."""
+    from ivfadc_tpu.models.coarse import TwoLevelCoarseQuantizer
+
+    os.makedirs(path, exist_ok=True)
+    base = sidx.index
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "config": base.config.to_dict(),
+        "dim": base.dim,
+        "data_dtype": np.dtype(base.data_dtype).name,
+        "coarse_kind": base.coarse.kind,
+        "quantizer_method": base.quantizer.method,
+        "n_shards": sidx.n_shards,
+        "window": int(sidx.window),
+        "align": int(sidx.align),
+        "max_cap": int(sidx.max_cap),
+        "n": len(base),
+    }
+    common = {
+        "centroids": np.asarray(base.coarse.centroids),
+        "codebooks": np.asarray(base.quantizer.codebooks),
+        "rotation": np.asarray(base.quantizer.rotation),
+        "shard_offsets": np.asarray(sidx.arrays["offsets"]),
+        "shard_sizes": np.asarray(sidx.arrays["sizes"]),
+        "global_offsets": base.store.offsets,
+        "global_caps": base.store.caps,
+        "global_sizes": base.store.sizes,
+    }
+    if isinstance(base.coarse, TwoLevelCoarseQuantizer):
+        meta["n_probe_groups"] = base.coarse.n_probe_groups
+        common["group_centers"] = np.asarray(base.coarse.group_centers)
+        common["group_members"] = np.asarray(base.coarse.members)
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    with open(os.path.join(path, "common.npz"), "wb") as f:
+        np.savez(f, **common)
+    code_blocks = _local_shard_blocks(sidx.shard_pq_codes)
+    id_blocks = _local_shard_blocks(sidx.arrays["ids"])
+    for s, codes in code_blocks.items():
+        with open(os.path.join(path, f"shard_{s:05d}.npz"), "wb") as f:
+            np.savez(f, codes=codes, ids=id_blocks[s])
+
+
+def load_sharded_index(path: str, mesh=None):
+    """Restore a sharded serving view from a `save_sharded_index` directory.
+
+    Decoded scan caches are rebuilt on device (they are derived state).
+    Single-process restore loads every shard file; a multi-host restore
+    would hand each process only its own shard files (same format).
+    """
+    import jax.numpy as jnp
+
+    from ivfadc_tpu.config import IVFADCConfig
+    from ivfadc_tpu.models.coarse import (NaiveCoarseQuantizer,
+                                          TwoLevelCoarseQuantizer)
+    from ivfadc_tpu.ops.metrics import get_metric
+    from ivfadc_tpu.ops.pq import ProductQuantizer
+    from ivfadc_tpu.parallel.mesh import SHARD_AXIS, make_mesh
+    from ivfadc_tpu.parallel.sharded import ShardedIVFADCIndex
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        meta = json.load(f)
+    if meta["format_version"] > FORMAT_VERSION:
+        raise ValueError(
+            f"sharded index format v{meta['format_version']} is newer than "
+            f"this library supports (v{FORMAT_VERSION})")
+    mesh = mesh if mesh is not None else make_mesh(n_data=1)
+    S = meta["n_shards"]
+    if mesh.shape[SHARD_AXIS] != S:
+        raise ValueError(
+            f"index was saved with {S} shards but the mesh has "
+            f"{mesh.shape[SHARD_AXIS]} — re-sharding on load is not "
+            f"supported yet (rebuild with ShardedIVFADCIndex.build)")
+    config = IVFADCConfig.from_dict(meta["config"])
+    cmetric = get_metric(config.coarse_metric)
+    with np.load(os.path.join(path, "common.npz")) as z:
+        centroids = jnp.asarray(z["centroids"])
+        if meta["coarse_kind"] == "two_level":
+            coarse = TwoLevelCoarseQuantizer.create(
+                centroids, jnp.asarray(z["group_centers"]),
+                jnp.asarray(z["group_members"]), cmetric,
+                int(meta["n_probe_groups"]))
+        else:
+            coarse = NaiveCoarseQuantizer(centroids, cmetric)
+        quantizer = ProductQuantizer(jnp.asarray(z["codebooks"]),
+                                     jnp.asarray(z["rotation"]),
+                                     meta["quantizer_method"])
+        glayout = dict(offsets=z["global_offsets"].copy(),
+                       caps=z["global_caps"].copy(),
+                       sizes=z["global_sizes"].copy())
+        shard_offsets = z["shard_offsets"].copy()
+        shard_sizes = z["shard_sizes"].copy()
+    codes, ids = [], []
+    for s in range(S):
+        with np.load(os.path.join(path, f"shard_{s:05d}.npz")) as z:
+            codes.append(z["codes"].copy())
+            ids.append(z["ids"].copy())
+    parts = dict(
+        offsets=shard_offsets,
+        sizes=shard_sizes,
+        pq_codes=np.stack(codes),
+        ids=np.stack(ids),
+        window=int(meta["window"]),
+        align=int(meta["align"]),
+        max_cap=int(meta["max_cap"]),
+    )
+    base = ShardedIVFADCIndex._meta_base(config, coarse, quantizer, glayout,
+                                         int(meta["dim"]))
+    return ShardedIVFADCIndex._assemble(base, mesh, parts)

@@ -189,62 +189,18 @@ class ShardedIVFADCIndex:
     """
 
     def __init__(self, index: IVFADCIndex, mesh=None):
-        self.index = index
-        self.mesh = mesh if mesh is not None else make_mesh()
-        self.n_shards = self.mesh.shape[SHARD_AXIS]
-        self._distributed_build = False
-        self.scan_mode = index._resolve_scan_mode()
-        parts = partition_store(index.store, self.n_shards)
-        self.window = parts.pop("window")
-        align = parts.pop("align")
-        self.pos8 = parts.pop("max_cap") <= 127 * _LANE
-        self.scale = None
-        self.ids2d = None
-        if self.scan_mode == "dense":
-            # per-shard decoded residual caches (rotated space, bf16 or int8
-            # matching the base index's scan_cache resolution), guard-padded
-            # for the kernel's chunked DMA
-            from ivfadc_tpu.ops import pq as pq_ops
-            chunk = index.config.scan_chunk     # guard for any effective chunk
-            S, cap, _ = parts["codes"].shape
-            cache = index._resolve_cache()
-            scale = pq_ops.cache_scale(index.quantizer) \
-                if cache == "int8" else None
-            dec = []
-            for s_ in range(S):
-                if scale is not None:
-                    d_ = pq_ops.decode_rotated_int8(index.quantizer,
-                                                    parts["codes"][s_], scale)
-                else:
-                    d_ = pq_ops.decode_rotated(index.quantizer,
-                                               parts["codes"][s_])
-                d_pad = _round_up(d_.shape[1], _LANE) - d_.shape[1]
-                dec.append(jnp.pad(d_, ((0, chunk + 128), (0, d_pad))))
-                if s_ == 0 and scale is not None and d_pad:
-                    scale = jnp.pad(scale, (0, d_pad), constant_values=1.0)
-            parts["codes"] = jnp.stack(dec)
-            parts["ids"] = np.pad(parts["ids"], ((0, 0), (0, chunk + 128)),
-                                  constant_values=-1)
-            self.scale = scale
-            if align % _LANE == 0 and parts["ids"].shape[1] % _LANE == 0:
-                # lane-aligned cell starts: the grouped kernel streams id
-                # rows and emits external ids in-kernel, same as single-chip
-                parts["ids2d"] = parts["ids"].reshape(
-                    self.n_shards, -1, _LANE)
-        shard_sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
-        self.arrays = {
-            name: jax.device_put(arr, shard_sharding)
-            for name, arr in parts.items()
-        }
-        repl = NamedSharding(self.mesh, P())
-        if self.scale is not None:
-            self.scale = jax.device_put(np.asarray(self.scale), repl)
-        self.codebooks = jax.device_put(
-            np.asarray(index.quantizer.codebooks), repl)
-        self.rotation = jax.device_put(
-            np.asarray(index.quantizer.rotation), repl)
-        self.coarse = jax.tree_util.tree_map(
-            lambda a: jax.device_put(np.asarray(a), repl), index.coarse)
+        mesh = mesh if mesh is not None else make_mesh()
+        parts = partition_store(index.store, mesh.shape[SHARD_AXIS])
+        # guard rows for the dense kernel's chunked DMA — same cap_pad layout
+        # as the distributed build so shard-aware persistence round-trips
+        # identically for both construction paths
+        cap = parts["codes"].shape[1]
+        pad = _round_up(cap + index.config.scan_chunk + _LANE, _LANE) - cap
+        parts["pq_codes"] = np.pad(parts.pop("codes"),
+                                   ((0, 0), (0, pad), (0, 0)))
+        parts["ids"] = np.pad(parts["ids"], ((0, 0), (0, pad)),
+                              constant_values=-1)
+        self._wire(index, mesh, parts, distributed=False)
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -259,9 +215,7 @@ class ShardedIVFADCIndex:
         base (config + trained quantizers + cell histogram, no payload).
         """
         from ivfadc_tpu.config import IVFADCConfig
-        from ivfadc_tpu.ops import pq as pq_ops
-        from ivfadc_tpu.parallel.build import (build_distributed_parts,
-                                               _decode_shard_caches)
+        from ivfadc_tpu.parallel.build import build_distributed_parts
 
         if config is None:
             config = IVFADCConfig(**kwargs)
@@ -270,39 +224,70 @@ class ShardedIVFADCIndex:
         mesh = mesh if mesh is not None else make_mesh(n_data=1)
         parts, coarse, quantizer, glayout = \
             build_distributed_parts(data, mesh, config)
+        base = cls._meta_base(config, coarse, quantizer, glayout,
+                              int(data.shape[1]))
+        return cls._assemble(base, mesh, parts)
 
+    @staticmethod
+    def _meta_base(config, coarse, quantizer, glayout, dim) -> IVFADCIndex:
+        """Metadata-only base index: config + trained quantizers + the global
+        cell layout/histogram; the posting payload lives sharded on the mesh."""
         from ivfadc_tpu.models.inverted import PostingStore
         store = PostingStore(
             config.kc, config.m, np.dtype(config.code_dtype),
             offsets=glayout["offsets"], caps=glayout["caps"],
             sizes=glayout["sizes"], codes=None, ids=None)
-        base = IVFADCIndex(config, coarse, quantizer, store,
-                           np.dtype(np.float32), int(data.shape[1]))
+        return IVFADCIndex(config, coarse, quantizer, store,
+                           np.dtype(np.float32), dim)
 
+    @classmethod
+    def _assemble(cls, base: IVFADCIndex, mesh, parts) -> "ShardedIVFADCIndex":
+        """Assemble a serving view around a payload-free base (distributed
+        build / sharded load)."""
         self = object.__new__(cls)
+        self._wire(base, mesh, parts, distributed=True)
+        return self
+
+    def _wire(self, base: IVFADCIndex, mesh, parts, *, distributed: bool
+              ) -> None:
+        """Wire stacked per-shard CSR parts (device arrays from the
+        distributed build, or host arrays from `partition_store` / a sharded
+        load) into this serving view. Shared by `__init__`, `build`, and
+        `load_sharded_index`."""
+        from ivfadc_tpu.ops import pq as pq_ops
+        from ivfadc_tpu.parallel.build import _decode_shard_caches
+
+        quantizer = base.quantizer
         self.index = base
         self.mesh = mesh
         self.n_shards = mesh.shape[SHARD_AXIS]
-        self._distributed_build = True
+        self._distributed_build = distributed
         self.scan_mode = base._resolve_scan_mode()
         self.window = parts["window"]
+        self.align = parts["align"]
+        self.max_cap = parts["max_cap"]
         self.pos8 = parts["max_cap"] <= 127 * _LANE
         self.scale = None
         shard_sh = NamedSharding(mesh, P(SHARD_AXIS))
         repl = NamedSharding(mesh, P())
+
+        def _put(arr):
+            return arr if isinstance(arr, jax.Array) \
+                else jax.device_put(arr, shard_sh)
+
         arrays = {
-            "offsets": jax.device_put(parts["offsets"], shard_sh),
-            "sizes": jax.device_put(parts["sizes"], shard_sh),
-            "ids": parts["ids"],                 # already shard-sharded
+            "offsets": jax.device_put(np.asarray(parts["offsets"]), shard_sh),
+            "sizes": jax.device_put(np.asarray(parts["sizes"]), shard_sh),
+            "ids": _put(parts["ids"]),
         }
         # PQ codes stay resident per shard: they are the LUT-mode scan input
         # and the compact payload for shard-aware persistence
-        self.shard_pq_codes = parts["pq_codes"]
+        self.shard_pq_codes = _put(parts["pq_codes"])
         if self.scan_mode == "dense":
             cache = base._resolve_cache()
             scale = pq_ops.cache_scale(quantizer) if cache == "int8" else None
             dec = _decode_shard_caches(quantizer.codebooks,
-                                       parts["pq_codes"], scale,
+                                       self.shard_pq_codes, scale,
                                        int8=cache == "int8")
             dq = dec.shape[-1]
             d_pad = _round_up(dq, _LANE) - dq
@@ -312,20 +297,19 @@ class ShardedIVFADCIndex:
                     scale = jnp.pad(scale, (0, d_pad), constant_values=1.0)
             arrays["codes"] = dec
             if parts["align"] % _LANE == 0:
-                arrays["ids2d"] = parts["ids"].reshape(
+                arrays["ids2d"] = arrays["ids"].reshape(
                     self.n_shards, -1, _LANE)
             if scale is not None:
                 self.scale = jax.device_put(np.asarray(scale), repl)
         else:
-            arrays["codes"] = parts["pq_codes"]
+            arrays["codes"] = self.shard_pq_codes
         self.arrays = arrays
         self.codebooks = jax.device_put(
             np.asarray(quantizer.codebooks), repl)
         self.rotation = jax.device_put(
             np.asarray(quantizer.rotation), repl)
         self.coarse = jax.tree_util.tree_map(
-            lambda a: jax.device_put(np.asarray(a), repl), coarse)
-        return self
+            lambda a: jax.device_put(np.asarray(a), repl), base.coarse)
 
     def refresh(self) -> None:
         """Re-partition and re-upload the shard arrays from the base index —
