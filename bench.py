@@ -60,18 +60,39 @@ def main():
 
     t_all = time.time()
     data_dir = os.environ.get("IVFADC_DATA_DIR", "")
+    gt_file_i = None
+    qdev = None
     if data_dir:
+        from ivfadc_tpu.utils.datasets import read_fvecs, read_ivecs
         base = load_or_synthesize("sift_base", n, d, seed=0)
+        n = base.shape[0]
         based = jnp.asarray(base, jnp.float32)
+        qp = os.path.join(data_dir, "sift_query.fvecs")
+        gp = os.path.join(data_dir, "sift_groundtruth.ivecs")
+        if os.path.exists(qp):
+            qreal = read_fvecs(qp, max_rows=nq)
+            nq = min(nq, qreal.shape[0])
+            qdev = jnp.asarray(np.resize(qreal, (nq, d)), jnp.float32)
+            # the published .ivecs ground truth is only valid if the whole
+            # base file went into the index (we may have truncated to n rows)
+            file_rows = os.path.getsize(
+                os.path.join(data_dir, "sift_base.fvecs")) // (4 * (d + 1)) \
+                if os.path.exists(os.path.join(data_dir, "sift_base.fvecs")) \
+                else -1
+            if os.path.exists(gp) and n >= file_rows > 0:
+                gt_file_i = read_ivecs(gp)[:n_gt, :topk]
     else:
         based = synthetic_clustered_device(n, d, seed=0)   # device-resident
 
-    # queries: perturbed base points (guaranteed near-neighbor structure),
-    # derived on device; only the small query set crosses to host (oracle).
-    key = jax.random.PRNGKey(1)
-    kq_, kn_ = jax.random.split(key)
-    qidx = jax.random.randint(kq_, (nq,), 0, n)
-    qdev = based[qidx] + 0.05 * jax.random.normal(kn_, (nq, d), jnp.float32)
+    # queries: real TEXMEX query set when provided, else perturbed base
+    # points (guaranteed near-neighbor structure) derived on device; only
+    # the small query set crosses to host (oracle).
+    if qdev is None:
+        key = jax.random.PRNGKey(1)
+        kq_, kn_ = jax.random.split(key)
+        qidx = jax.random.randint(kq_, (nq,), 0, n)
+        qdev = based[qidx] + 0.05 * jax.random.normal(kn_, (nq, d),
+                                                      jnp.float32)
     # only the oracle/recall slice crosses to host (D2H is slow on tunnels)
     queries = np.asarray(qdev[:max(n_gt, n_oracle)])
 
@@ -81,8 +102,12 @@ def main():
         kmeanspp_sample=min(n, 65536))
     build_s = time.time() - t0
 
-    # --- ground truth + recall (both computed on device, tiny D2H) ---
-    gt_d, gt_i = brute_force_topk(based, qdev[:n_gt], topk)
+    # --- ground truth + recall: published .ivecs GT when valid, else exact
+    # brute force on device (tiny D2H either way) ---
+    if gt_file_i is not None:
+        gt_i = gt_file_i
+    else:
+        gt_d, gt_i = brute_force_topk(based, qdev[:n_gt], topk)
     ids, _ = index.search_padded(queries[:n_gt], topk, w=nprobe)
     recall = recall_at_r(ids, gt_i, topk)
 
@@ -113,6 +138,19 @@ def main():
     p50_batch_ms = float(np.percentile(singles, 50) * 1e3)
     max_batch_ms = float(np.max(singles) * 1e3)
 
+    # --- true single-query latency (BASELINE primary metric names "p50
+    # query latency"): individually timed B=1 and B=8 calls, not the
+    # amortized per-query share of a big batch ---
+    tiny_lat_ms = {}
+    for bsz in (1, 8):
+        samples = []
+        for r in range(12):
+            samples.append(true_time(
+                lambda i, r=r, bsz=bsz: index._device_search(
+                    qdev[:bsz] + 1e-6 * (i + 37 * r), topk, nprobe),
+                reps=1, warm=1 if r == 0 else 0, baseline=base_lat))
+        tiny_lat_ms[bsz] = float(np.percentile(samples, 50) * 1e3)
+
     # --- oracle baseline (reference algorithm, single core, this host) ---
     oracle = ReferenceOracle.from_index(index)
     t0 = time.time()
@@ -134,6 +172,9 @@ def main():
         "p50_batch_latency_ms": round(p50_batch_ms, 2),
         "max_batch_latency_ms": round(max_batch_ms, 2),
         "p50_query_latency_us": round(p50_batch_ms / batch * 1e3, 2),
+        "p50_latency_b1_ms": round(tiny_lat_ms[1], 3),
+        "p50_latency_b8_ms": round(tiny_lat_ms[8], 3),
+        "gt_source": "ivecs" if gt_file_i is not None else "brute_force",
         # the chip is time-shared on tunneled runtimes: wave QPS includes
         # contention windows; p50-batch QPS is the uncontended rate
         "p50_batch_qps": round(batch / (p50_batch_ms / 1e3), 1),
