@@ -76,6 +76,14 @@ class PostingStore:
         # cells sorted by offset for slot -> cell lookup (offsets become
         # unsorted once a grown cell relocates to the end of the arrays)
         self._cell_order: Optional[np.ndarray] = None
+        # mutation log for incremental shard refresh (ShardedIVFADCIndex):
+        # dirty cells re-extract from host truth; global id renumberings
+        # (shift / rank-subtract) replay as device arithmetic. Inactive (and
+        # free) until a sharded view calls start_mutation_log().
+        self._mlog_active = False
+        self._mlog_cells: set = set()
+        self._mlog_ops: list = []
+        self._mlog_overflow = False
 
     # ---- host views ----
     # After a device-side build the flat arrays live on device only. Ids
@@ -306,6 +314,43 @@ class PostingStore:
         o, s = int(self.offsets[cell]), int(self.sizes[cell])
         return self.ids[o:o + s].copy(), self.codes[o:o + s].copy()
 
+    # ------------------------------------------------------- mutation logging
+    # A sharded serving view is a partition-time snapshot; instead of a full
+    # re-partition after every dynamic op (the reference has no analogue —
+    # its index IS the only copy), the store records which cells changed and
+    # which global id renumberings happened so ShardedIVFADCIndex.refresh()
+    # can patch per-shard arrays in place.
+    def start_mutation_log(self) -> None:
+        self._mlog_active = True
+        self._mlog_cells = set()
+        self._mlog_ops = []
+        self._mlog_overflow = False
+
+    def drain_mutation_log(self):
+        """-> {"cells": set, "ops": [("shift", t, d) | ("rank", dels)],
+        "overflow": bool} and reset; None if logging was never started."""
+        if not self._mlog_active:
+            return None
+        out = dict(cells=self._mlog_cells, ops=self._mlog_ops,
+                   overflow=self._mlog_overflow)
+        self._mlog_cells, self._mlog_ops = set(), []
+        self._mlog_overflow = False
+        return out
+
+    def _log_cell(self, cell: int) -> None:
+        if not self._mlog_active:
+            return
+        self._mlog_cells.add(int(cell))
+        if len(self._mlog_cells) > max(64, self.kc // 4):
+            self._mlog_overflow = True   # beyond this a re-partition is cheaper
+
+    def _log_op(self, op) -> None:
+        if not self._mlog_active:
+            return
+        self._mlog_ops.append(op)
+        if len(self._mlog_ops) > 1024:
+            self._mlog_overflow = True
+
     # -------------------------------------------------------------- mutation
     def _invalidate(self):
         self._device = None
@@ -384,6 +429,7 @@ class PostingStore:
         self.sizes[cell] += 1
         self._note_slot(ext_id, slot)
         self._mark_dirty(slot)
+        self._log_cell(cell)
 
     def append_batch(self, cells: np.ndarray, code_rows: np.ndarray,
                      first_ext_id: int) -> None:
@@ -421,6 +467,8 @@ class PostingStore:
             self._dirty_slots.update(int(x) for x in slots)
             if len(self._dirty_slots) > self._DIRTY_LIMIT:
                 self._invalidate()
+        for c in uniq:
+            self._log_cell(int(c))
 
     def _grow_cell(self, cell: int) -> None:
         """Double one cell's capacity by RELOCATING it to the end of the
@@ -552,6 +600,7 @@ class PostingStore:
         if slot != last:
             self._mark_dirty(slot)
         self._mark_dirty(last)
+        self._log_cell(cell)
         return code
 
     def shift_ids(self, threshold: int, delta: int) -> None:
@@ -563,6 +612,7 @@ class PostingStore:
         ids[mask] += delta
         self._slot_of = None          # wholesale renumber: rebuild lazily
         self._dev_shift_ids(threshold, delta)
+        self._log_op(("shift", int(threshold), int(delta)))
 
     def delete_ids_incremental(self, dels: np.ndarray) -> int:
         """Small-batch delete that keeps the device caches patchable:
@@ -603,6 +653,7 @@ class PostingStore:
         ids[live] -= np.searchsorted(dels, ids[live])
         self._slot_of = None
         self._dev_rank_shift(dels)
+        self._log_op(("rank", dels.copy()))
         return int(dels.size)
 
     def _dev_rank_shift(self, dels: np.ndarray) -> None:
@@ -646,6 +697,9 @@ class PostingStore:
         self.ids[live] -= np.searchsorted(dels, self.ids[live])
         self._slot_of = None
         self._invalidate()
+        for c in np.unique(cells):
+            self._log_cell(int(c))
+        self._log_op(("rank", dels.copy()))
         return int(dels.size)
 
     # ---------------------------------------------------------------- device

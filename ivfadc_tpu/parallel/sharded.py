@@ -83,7 +83,7 @@ def partition_store(store, n_shards: int, align: int = 0):
     return dict(offsets=offsets_per.astype(np.int32),
                 sizes=sizes_per.astype(np.int32),
                 codes=codes, ids=ids.astype(np.int32), window=window,
-                align=a, max_cap=int(caps_per.max()))
+                align=a, max_cap=int(caps_per.max()), caps=caps_per)
 
 
 def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
@@ -178,6 +178,21 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
     return out_ids, metric.finalize(out_d)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _patch_rows(arr, s_idx, r_idx, vals):
+    """In-place (donated) row scatter into a stacked per-shard array.
+    Indices are bucket-padded by repeating entry 0 — duplicate writes of an
+    identical value are deterministic, so padding is semantics-free."""
+    return arr.at[s_idx, r_idx].set(vals)
+
+
+def _pad_bucket(n: int) -> int:
+    p = 8
+    while p < n:
+        p *= 2
+    return p
+
+
 class ShardedIVFADCIndex:
     """Search-serving view of an IVFADCIndex with lists sharded over a mesh.
 
@@ -201,6 +216,13 @@ class ShardedIVFADCIndex:
         parts["ids"] = np.pad(parts["ids"], ((0, 0), (0, pad)),
                               constant_values=-1)
         self._wire(index, mesh, parts, distributed=False)
+        # host snapshot of the shard layout + mutation log on the base store
+        # so refresh() can patch shard arrays in place after dynamic ops
+        self._h_offsets = np.asarray(parts["offsets"], np.int64)
+        self._h_sizes = np.asarray(parts["sizes"], np.int64).copy()
+        self._h_caps = np.asarray(parts["caps"], np.int64)
+        index.store.start_mutation_log()
+        self._last_refresh = "init"
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -312,14 +334,122 @@ class ShardedIVFADCIndex:
             lambda a: jax.device_put(np.asarray(a), repl), base.coarse)
 
     def refresh(self) -> None:
-        """Re-partition and re-upload the shard arrays from the base index —
-        call after dynamic ops (push/delete) on the underlying IVFADCIndex;
-        the sharded view is otherwise a build-time snapshot."""
+        """Bring the shard arrays up to date after dynamic ops (push/delete)
+        on the underlying IVFADCIndex.
+
+        Incremental: the base PostingStore logs which cells changed and which
+        global id renumberings happened (models/inverted.py mutation log);
+        this replays the renumberings as device arithmetic and re-uploads
+        only the dirty cells' rows — cost proportional to the touched slots,
+        not the index. Falls back to a full re-partition when the log
+        overflowed or a cell outgrew its per-shard capacity/window."""
         if self._distributed_build:
             raise NotImplementedError(
                 "a distributed-built sharded index has no single-host base "
                 "to re-partition from; rebuild with ShardedIVFADCIndex.build")
-        self.__init__(self.index, self.mesh)
+        store = self.index.store
+        log = store.drain_mutation_log()
+        if log is None or log["overflow"]:
+            self.__init__(self.index, self.mesh)
+            self._last_refresh = "full"
+            return
+        cells, ops = sorted(log["cells"]), log["ops"]
+        if not cells and not ops:
+            self._last_refresh = "noop"
+            return
+        S = self.n_shards
+        for c in cells:
+            if int(store.sizes[c]) > int(self._h_caps[c % S, c]) or \
+                    int(store.sizes[c]) > self.window:
+                self.__init__(self.index, self.mesh)
+                self._last_refresh = "full"
+                return
+        self._apply_incremental(store, cells, ops)
+        self._last_refresh = "incremental"
+
+    def _apply_incremental(self, store, cells, ops) -> None:
+        import jax.numpy as jnp
+        from ivfadc_tpu.ops import pq as pq_ops
+
+        S = self.n_shards
+        shard_sh = NamedSharding(self.mesh, P(SHARD_AXIS))
+        ids_arr = self.arrays["ids"]
+        # 1) global id renumberings, in op order (padding slots are -1 and
+        #    unaffected: shift only moves ids > threshold >= -1, rank only
+        #    ids >= 0) — exactly the base store's _dev_shift/_dev_rank logic
+        for op in ops:
+            if op[0] == "shift":
+                _, t, delta = op
+                ids_arr = jnp.where(ids_arr > t, ids_arr + delta, ids_arr)
+            else:
+                dels = jnp.asarray(np.asarray(op[1]), ids_arr.dtype)
+                ids_arr = jnp.where(
+                    ids_arr >= 0,
+                    ids_arr - jnp.searchsorted(dels, ids_arr), ids_arr)
+        # 2) dirty cells: scatter current host-truth rows into the owner
+        #    shard's slots (covering the old extent so shrunk cells clear)
+        if cells:
+            s_idx, r_idx, id_vals, code_rows = [], [], [], []
+            for c in cells:
+                s = c % S
+                o_dst = int(self._h_offsets[s, c])
+                new_sz = int(store.sizes[c])
+                span = max(new_sz, int(self._h_sizes[s, c]))
+                o_src = int(store.offsets[c])
+                rows = np.zeros((span, store.m), store.code_dtype)
+                idv = np.full(span, -1, np.int64)
+                if new_sz:
+                    rows[:new_sz] = store._code_rows(
+                        np.arange(o_src, o_src + new_sz))
+                    idv[:new_sz] = store.ids[o_src:o_src + new_sz]
+                s_idx.append(np.full(span, s, np.int32))
+                r_idx.append(np.arange(o_dst, o_dst + span, dtype=np.int32))
+                id_vals.append(idv)
+                code_rows.append(rows)
+                self._h_sizes[s, c] = new_sz
+            s_np = np.concatenate(s_idx)
+            r_np = np.concatenate(r_idx)
+            id_np = np.concatenate(id_vals)
+            code_np = np.concatenate(code_rows)
+            # bucket-pad so patch sizes hit a handful of jit shapes; the
+            # donated scatter then updates the big arrays in place instead
+            # of copying them (an eager .at[].set copies the whole array)
+            pad = _pad_bucket(len(s_np)) - len(s_np)
+            if pad:
+                s_np = np.concatenate([s_np, np.full(pad, s_np[0])])
+                r_np = np.concatenate([r_np, np.full(pad, r_np[0])])
+                id_np = np.concatenate([id_np, np.full(pad, id_np[0])])
+                code_np = np.concatenate(
+                    [code_np, np.broadcast_to(code_np[0], (pad, store.m))])
+            s_j = jnp.asarray(s_np, jnp.int32)
+            r_j = jnp.asarray(r_np, jnp.int32)
+            ids_arr = _patch_rows(ids_arr, s_j, r_j,
+                                  jnp.asarray(id_np, ids_arr.dtype))
+            # PQ codes are the persistence payload for both scan modes
+            self.shard_pq_codes = _patch_rows(self.shard_pq_codes, s_j, r_j,
+                                              jnp.asarray(code_np))
+            if self.scan_mode == "dense":
+                quantizer = self.index.quantizer
+                if self.scale is not None:
+                    rows_d = pq_ops.decode_rotated_int8(quantizer, code_np,
+                                                        self.scale)
+                else:
+                    rows_d = pq_ops.decode_rotated(quantizer, code_np)
+                dec = self.arrays["codes"]
+                d_pad = dec.shape[-1] - rows_d.shape[-1]
+                if d_pad:
+                    rows_d = jnp.pad(rows_d, ((0, 0), (0, d_pad)))
+                live = jnp.asarray(id_np >= 0)[:, None]
+                rows_d = jnp.where(live, rows_d, 0).astype(dec.dtype)
+                self.arrays["codes"] = _patch_rows(dec, s_j, r_j, rows_d)
+            else:
+                self.arrays["codes"] = self.shard_pq_codes
+            self.arrays["sizes"] = jax.device_put(
+                self._h_sizes.astype(np.int32), shard_sh)
+        self.arrays["ids"] = ids_arr
+        if self.arrays.get("ids2d") is not None:
+            self.arrays["ids2d"] = self.arrays["ids"].reshape(
+                S, -1, _LANE)
 
     def search_padded(self, queries: np.ndarray, k: int, w: int = 1
                       ) -> Tuple[np.ndarray, np.ndarray]:
