@@ -108,7 +108,7 @@ def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
     jax.jit,
     static_argnames=("mesh", "k", "w", "window", "metric", "include_base",
                      "apply_rot", "residual_based", "dense", "chunk", "pb",
-                     "merge", "nf", "pos8", "interpret"))
+                     "merge", "nf", "pos8", "interpret", "overlap"))
 def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                          dscale, ids2d, queries, *, mesh, k: int, w: int,
                          window: int,
@@ -116,11 +116,18 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                          residual_based: bool, dense: bool = False,
                          chunk: int = 1024, pb: int = 32,
                          merge: str = "exact", nf: int = 128,
-                         pos8: bool = False, interpret: bool = False):
+                         pos8: bool = False, interpret: bool = False,
+                         overlap: bool = True):
     """Queries (B, d) replicated over shard / sharded over data; per-shard CSR
     arrays stacked on a leading shard axis. `codes` is the flat PQ-code array
     in LUT mode or the decoded residual cache in dense mode. Returns
-    replicated-over-shard (B, k) global ids + dists."""
+    replicated-over-shard (B, k) global ids + dists.
+
+    `overlap=True` double-buffers the cross-shard merge (SURVEY §7 "Hard
+    parts" last bullet): the local batch is split into two waves and wave
+    0's k-candidate all_gather is issued BEFORE wave 1's scan, so the ICI
+    collective rides under the second scan's compute (XLA async collectives
+    overlap independent DMA with compute on a real slice)."""
 
     def local_search(cq_l, cb_l, rot_l, off_l, siz_l, cod_l, ids_l, scale_l,
                      ids2d_l, q_l):
@@ -129,23 +136,25 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
         cod_l, ids_l = cod_l[0], ids_l[0]
         if ids2d_l is not None:
             ids2d_l = ids2d_l[0]
-        if dense:
-            loc_ids, loc_d = _local_search_dense(
-                cq_l, rot_l, off_l, siz_l, cod_l, ids_l, scale_l, ids2d_l,
-                q_l, k=k, w=w, metric=metric, include_base=include_base,
-                apply_rot=apply_rot, residual_based=residual_based,
-                chunk=chunk, pb=pb, merge=merge, nf=nf, pos8=pos8,
-                interpret=interpret)
-        else:
-            cells, cdists = cq_l.search(q_l, w)
+
+        def scan_block(q_b):
+            """Shard-local top-k candidates for one query wave."""
+            if dense:
+                return _local_search_dense(
+                    cq_l, rot_l, off_l, siz_l, cod_l, ids_l, scale_l,
+                    ids2d_l, q_b, k=k, w=w, metric=metric,
+                    include_base=include_base, apply_rot=apply_rot,
+                    residual_based=residual_based, chunk=chunk, pb=pb,
+                    merge=merge, nf=nf, pos8=pos8, interpret=interpret)
+            cells, cdists = cq_l.search(q_b, w)
             cent = cq_l.centroids[cells]
             if residual_based:
-                vecs = q_l[:, None, :] - cent
+                vecs = q_b[:, None, :] - cent
                 base = cdists if include_base else jnp.zeros_like(cdists)
             else:
-                vecs = jnp.broadcast_to(q_l[:, None, :],
-                                        (q_l.shape[0], w, q_l.shape[1]))
-                base = jax.vmap(metric.pairwise)(q_l[:, None, :],
+                vecs = jnp.broadcast_to(q_b[:, None, :],
+                                        (q_b.shape[0], w, q_b.shape[1]))
+                base = jax.vmap(metric.pairwise)(q_b[:, None, :],
                                                  cent)[:, 0, :]
             dq = rot_l.shape[0]
             if vecs.shape[-1] != dq:    # ragged-subspace zero padding
@@ -154,18 +163,35 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
             if apply_rot:
                 vecs = vecs @ rot_l
             tables = build_adc_tables(metric, vecs, codebooks=cb_l)
-            loc_ids, loc_d = scan_postings(tables, base, cells, off_l, siz_l,
-                                           cod_l, ids_l, k=k, window=window)
-        # Cross-shard exact top-k merge: gather every shard's k candidates,
-        # re-rank. (k*S, B) stays tiny; rides ICI on a real slice.
-        all_ids = jax.lax.all_gather(loc_ids, SHARD_AXIS)   # (S, Bl, k)
-        all_d = jax.lax.all_gather(loc_d, SHARD_AXIS)
-        S = all_ids.shape[0]
-        all_ids = jnp.moveaxis(all_ids, 0, 1).reshape(q_l.shape[0], S * k)
-        all_d = jnp.moveaxis(all_d, 0, 1).reshape(q_l.shape[0], S * k)
-        neg, which = jax.lax.top_k(-all_d, k)
-        out_ids = jnp.take_along_axis(all_ids, which, axis=1)
-        return out_ids, -neg
+            return scan_postings(tables, base, cells, off_l, siz_l,
+                                 cod_l, ids_l, k=k, window=window)
+
+        def gather(loc):
+            # Cross-shard exact merge input: every shard's k candidates.
+            # (S, Bw, k) stays tiny; rides ICI on a real slice.
+            return (jax.lax.all_gather(loc[0], SHARD_AXIS),
+                    jax.lax.all_gather(loc[1], SHARD_AXIS))
+
+        def rerank(all_ids, all_d):
+            S, Bw, _ = all_ids.shape
+            all_ids = jnp.moveaxis(all_ids, 0, 1).reshape(Bw, S * k)
+            all_d = jnp.moveaxis(all_d, 0, 1).reshape(Bw, S * k)
+            neg, which = jax.lax.top_k(-all_d, k)
+            return jnp.take_along_axis(all_ids, which, axis=1), -neg
+
+        B_l = q_l.shape[0]
+        if overlap and B_l >= 16:
+            # double-buffered: scan(w0); issue gather(w0); scan(w1) runs
+            # while w0's collective is in flight; then both merges
+            h = B_l // 2
+            g0 = gather(scan_block(q_l[:h]))
+            g1 = gather(scan_block(q_l[h:]))
+            i0, d0 = rerank(*g0)
+            i1, d1 = rerank(*g1)
+            return (jnp.concatenate([i0, i1], axis=0),
+                    jnp.concatenate([d0, d1], axis=0))
+        g = gather(scan_block(q_l))
+        return rerank(*g)
 
     fn = shard_map(
         local_search, mesh=mesh,
@@ -451,8 +477,10 @@ class ShardedIVFADCIndex:
             self.arrays["ids2d"] = self.arrays["ids"].reshape(
                 S, -1, _LANE)
 
-    def search_padded(self, queries: np.ndarray, k: int, w: int = 1
-                      ) -> Tuple[np.ndarray, np.ndarray]:
+    def _dispatch(self, queries, k: int, w: int, overlap: bool
+                  ) -> Tuple[jax.Array, jax.Array, int]:
+        """Pad + place one query wave and launch the sharded search; returns
+        DEVICE arrays (async) so callers can pipeline waves."""
         if k < 1:
             raise AssertionError("k has to be >= 1")
         if w < 1:
@@ -488,5 +516,36 @@ class ShardedIVFADCIndex:
             chunk=self.index._effective_chunk(), pb=cfg.scan_pb,
             merge=self.index._resolve_merge_mode(),
             nf=cfg.scan_fold_lanes, pos8=self.pos8,
-            interpret=jax.default_backend() == "cpu")
+            interpret=jax.default_backend() == "cpu",
+            overlap=overlap)
+        return ids, dists, B
+
+    def search_padded(self, queries: np.ndarray, k: int, w: int = 1, *,
+                      overlap: bool = False
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """One blocking wave. `overlap=False` (default) keeps bit-parity
+        with the single-chip path; `overlap=True` double-buffers the
+        cross-shard merge, which changes float accumulation grouping and so
+        drifts within cache-quantization noise (~1e-3 relative) — the
+        throughput-oriented `search_stream` turns it on by default."""
+        ids, dists, B = self._dispatch(queries, k, w, overlap)
         return np.asarray(ids)[:B], np.asarray(dists)[:B]
+
+    def search_stream(self, queries, k: int, w: int = 1, *,
+                      batch: int = 16384, overlap: bool = True
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Throughput search over a large query set: waves dispatched
+        back-to-back WITHOUT blocking, so wave i+1's per-shard scan runs
+        while wave i's cross-shard gather+merge completes — the Python-level
+        half of the overlapped merge (the in-program half is `overlap`,
+        see _sharded_search_impl). Mirrors IVFADCIndex.search_stream."""
+        queries = np.asarray(queries, np.float32) \
+            if not hasattr(queries, "devices") else queries
+        n = queries.shape[0]
+        if n == 0:
+            return (np.empty((0, k), np.int32), np.empty((0, k), np.float32))
+        outs = [self._dispatch(queries[s:s + batch], k, w, overlap)
+                for s in range(0, n, batch)]
+        ids = np.concatenate([np.asarray(i)[:b] for i, _, b in outs])
+        dists = np.concatenate([np.asarray(d)[:b] for _, d, b in outs])
+        return ids, dists

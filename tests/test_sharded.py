@@ -222,3 +222,31 @@ def test_sharded_refresh_overflow_falls_back(random_data):
     ids_1, _ = idx.search_padded(q, 5, w=6)
     for a, b in zip(ids_s, ids_1):
         assert set(a[a >= 0]) == set(b[b >= 0])
+
+
+def test_sharded_overlapped_merge_matches_blocking(base_index):
+    """The double-buffered merge (scan wave 1 while wave 0's all_gather is
+    in flight) must agree with the blocking path. Splitting the batch
+    changes float accumulation grouping, so distances may drift within
+    cache-quantization noise — sorted distances match loosely and neighbor
+    sets match up to near-tie swaps."""
+    base, idx = base_index
+    mesh = make_mesh(n_shards=4, n_data=2)
+    sidx = ShardedIVFADCIndex(idx, mesh)
+    q = base[np.random.RandomState(3).choice(len(base), 48, replace=False)]
+    ids_b, d_b = sidx.search_padded(q, 10, w=4, overlap=False)
+    ids_o, d_o = sidx.search_padded(q, 10, w=4, overlap=True)
+    np.testing.assert_allclose(np.sort(d_b, 1), np.sort(d_o, 1),
+                               rtol=1e-2, atol=1e-2)
+    jac = np.mean([len(set(a[a >= 0]) & set(b[b >= 0])) / 10
+                   for a, b in zip(ids_b, ids_o)])
+    assert jac > 0.95, jac
+    # search_stream (overlap on by default) agrees the same way, and its
+    # wave splitting must reassemble rows in order
+    ids_s, d_s = sidx.search_stream(q, 10, w=4, batch=16)
+    np.testing.assert_allclose(np.sort(d_o[:16], 1), np.sort(d_s[:16], 1),
+                               rtol=1e-2, atol=1e-2)
+    assert ids_s.shape == (48, 10)
+    # blocking default keeps exact single-chip parity
+    ids_1, _ = idx.search_padded(q, 10, w=4)
+    np.testing.assert_array_equal(ids_b, ids_1)
