@@ -162,7 +162,8 @@ def main():
     oracle_recall = recall_at_r(o_pad, gt_i[:n_oracle], topk)
 
     result = {
-        "metric": "QPS/chip at recall@10 (SIFT1M-shape synthetic, m=8, nprobe=8)",
+        "metric": "QPS/chip at recall@10 (SIFT1M%s, m=8, nprobe=8)"
+                  % ("" if data_dir else "-shape synthetic"),
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / max(oracle_qps, 1e-9), 2),

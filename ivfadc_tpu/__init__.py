@@ -13,7 +13,7 @@ from ivfadc_tpu.models.index import IVFADCIndex
 from ivfadc_tpu.ops.metrics import Metric, get_metric, register_metric
 from ivfadc_tpu.ops.pq import ProductQuantizer
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 
 def knn_search(index: IVFADCIndex, points, k: int, w: int = 1):

@@ -407,14 +407,22 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
         tile_base, _, _, _, tile_start, tile_size = _tile_map(
             counts, offsets, sizes, pb, T_max, kc)
         row = (tile_base[cells_flat] + ranks // pb) * pb + ranks % pb
-        # scatter probes into their tile rows (unwritten rows keep base=inf,
-        # so the kernel treats them as empty slots)
-        v_tiles = jnp.zeros((T_max * pb, d), jnp.bfloat16) \
-            .at[row].set(v.reshape(P, d).astype(jnp.bfloat16),
+        # place probes into their tile rows via a GATHER, not a scatter of
+        # the wide (P, d) array: invert `row` with a cheap (P,) i32 scatter
+        # (slot -> probe; unwritten slots point at the padding row P), then
+        # gather rows — XLA row-gathers run ~2x faster than row-scatters on
+        # this runtime, and the moved array is the 2-byte-wide one
+        inv_row = jnp.full((T_max * pb,), P, jnp.int32) \
+            .at[row].set(jnp.arange(P, dtype=jnp.int32),
                          unique_indices=True)
-        base_tiles = jnp.full((T_max * pb, 1), jnp.inf, jnp.float32) \
-            .at[row].set(base.reshape(P, 1).astype(jnp.float32),
-                         unique_indices=True)
+        v_pad = jnp.concatenate(
+            [v.reshape(P, d).astype(jnp.bfloat16),
+             jnp.zeros((1, d), jnp.bfloat16)])
+        base_pad = jnp.concatenate(
+            [base.reshape(P, 1).astype(jnp.float32),
+             jnp.full((1, 1), jnp.inf, jnp.float32)])
+        v_tiles = v_pad[inv_row]
+        base_tiles = base_pad[inv_row]
         return _grouped_call(tile_start, tile_size, v_tiles, base_tiles,
                              decoded, scale, ids2d, row, B, w, d,
                              T_max=T_max, k_out=k_out, chunk=chunk,
