@@ -65,14 +65,18 @@ def main():
     if data_dir:
         from ivfadc_tpu.utils.datasets import read_fvecs, read_ivecs
         base = load_or_synthesize("sift_base", n, d, seed=0)
-        n = base.shape[0]
+        n, d = base.shape
         based = jnp.asarray(base, jnp.float32)
         qp = os.path.join(data_dir, "sift_query.fvecs")
         gp = os.path.join(data_dir, "sift_groundtruth.ivecs")
         if os.path.exists(qp):
             qreal = read_fvecs(qp, max_rows=nq)
+            if qreal.shape[1] != d:
+                raise ValueError(
+                    f"{qp} holds {qreal.shape[1]}-dim queries but the bench "
+                    f"config is d={d}; np.resize would scramble rows")
             nq = min(nq, qreal.shape[0])
-            qdev = jnp.asarray(np.resize(qreal, (nq, d)), jnp.float32)
+            qdev = jnp.asarray(qreal[:nq], jnp.float32)
             # the published .ivecs ground truth is only valid if the whole
             # base file went into the index (we may have truncated to n rows)
             file_rows = os.path.getsize(

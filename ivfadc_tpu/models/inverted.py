@@ -41,6 +41,51 @@ def jnp_where_shift(ids, threshold: int, delta: int):
     return jnp.where(ids > threshold, ids + delta, ids)
 
 
+class MutationLog:
+    """Per-consumer record of store mutations since the last drain: dirty
+    cells plus the ordered global-id renumbering ops. Once either bound is
+    exceeded the log collapses to a bare overflow flag (a full re-partition
+    is cheaper than replaying that much churn) and stops accumulating, so an
+    undrained log costs O(1) however long the workload runs."""
+
+    __slots__ = ("cells", "ops", "overflow", "_kc", "__weakref__")
+
+    def __init__(self, kc: int):
+        self._kc = kc
+        self._reset()
+
+    def _reset(self) -> None:
+        self.cells: set = set()
+        self.ops: list = []
+        self.overflow = False
+
+    def _overflowed(self) -> None:
+        self.overflow = True
+        self.cells = set()
+        self.ops = []
+
+    def log_cell(self, cell: int) -> None:
+        if self.overflow:
+            return
+        self.cells.add(cell)
+        if len(self.cells) > max(64, self._kc // 4):
+            self._overflowed()   # beyond this a re-partition is cheaper
+
+    def log_op(self, op) -> None:
+        if self.overflow:
+            return
+        self.ops.append(op)
+        if len(self.ops) > 1024:
+            self._overflowed()
+
+    def drain(self) -> dict:
+        """-> {"cells": set, "ops": [("shift", t, d) | ("rank", dels)],
+        "overflow": bool} and reset."""
+        out = dict(cells=self.cells, ops=self.ops, overflow=self.overflow)
+        self._reset()
+        return out
+
+
 class PostingStore:
     def __init__(self, kc: int, m: int, code_dtype: np.dtype, *,
                  offsets: np.ndarray, caps: np.ndarray, sizes: np.ndarray,
@@ -76,14 +121,14 @@ class PostingStore:
         # cells sorted by offset for slot -> cell lookup (offsets become
         # unsorted once a grown cell relocates to the end of the arrays)
         self._cell_order: Optional[np.ndarray] = None
-        # mutation log for incremental shard refresh (ShardedIVFADCIndex):
+        # mutation logs for incremental shard refresh (ShardedIVFADCIndex):
         # dirty cells re-extract from host truth; global id renumberings
-        # (shift / rank-subtract) replay as device arithmetic. Inactive (and
-        # free) until a sharded view calls start_mutation_log().
-        self._mlog_active = False
-        self._mlog_cells: set = set()
-        self._mlog_ops: list = []
-        self._mlog_overflow = False
+        # (shift / rank-subtract) replay as device arithmetic. Each sharded
+        # view attaches its OWN log (attach_mutation_log) so several views
+        # over one store stay independently consistent; the store holds only
+        # weak references, so a discarded view's log stops costing anything.
+        import weakref
+        self._mlogs: "weakref.WeakSet[MutationLog]" = weakref.WeakSet()
 
     # ---- host views ----
     # After a device-side build the flat arrays live on device only. Ids
@@ -320,36 +365,22 @@ class PostingStore:
     # its index IS the only copy), the store records which cells changed and
     # which global id renumberings happened so ShardedIVFADCIndex.refresh()
     # can patch per-shard arrays in place.
-    def start_mutation_log(self) -> None:
-        self._mlog_active = True
-        self._mlog_cells = set()
-        self._mlog_ops = []
-        self._mlog_overflow = False
-
-    def drain_mutation_log(self):
-        """-> {"cells": set, "ops": [("shift", t, d) | ("rank", dels)],
-        "overflow": bool} and reset; None if logging was never started."""
-        if not self._mlog_active:
-            return None
-        out = dict(cells=self._mlog_cells, ops=self._mlog_ops,
-                   overflow=self._mlog_overflow)
-        self._mlog_cells, self._mlog_ops = set(), []
-        self._mlog_overflow = False
-        return out
+    def attach_mutation_log(self) -> "MutationLog":
+        """Create and attach a fresh per-consumer log. The caller must hold
+        the returned object (the store keeps only a weak reference); call
+        `log.drain()` to consume. Multiple views over one store each attach
+        their own log and stay independently consistent."""
+        log = MutationLog(self.kc)
+        self._mlogs.add(log)
+        return log
 
     def _log_cell(self, cell: int) -> None:
-        if not self._mlog_active:
-            return
-        self._mlog_cells.add(int(cell))
-        if len(self._mlog_cells) > max(64, self.kc // 4):
-            self._mlog_overflow = True   # beyond this a re-partition is cheaper
+        for log in self._mlogs:
+            log.log_cell(int(cell))
 
     def _log_op(self, op) -> None:
-        if not self._mlog_active:
-            return
-        self._mlog_ops.append(op)
-        if len(self._mlog_ops) > 1024:
-            self._mlog_overflow = True
+        for log in self._mlogs:
+            log.log_op(op)
 
     # -------------------------------------------------------------- mutation
     def _invalidate(self):

@@ -28,7 +28,9 @@ from typing import Dict
 
 import numpy as np
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2   # v2: per-shard offsets/sizes moved into the shard
+                     # files (a multi-host process owns only its shards'
+                     # layout; v1 kept them replicated in common.npz)
 
 
 def _local_shard_blocks(arr) -> Dict[int, np.ndarray]:
@@ -66,8 +68,6 @@ def save_sharded_index(path: str, sidx) -> None:
         "centroids": np.asarray(base.coarse.centroids),
         "codebooks": np.asarray(base.quantizer.codebooks),
         "rotation": np.asarray(base.quantizer.rotation),
-        "shard_offsets": np.asarray(sidx.arrays["offsets"]),
-        "shard_sizes": np.asarray(sidx.arrays["sizes"]),
         "global_offsets": base.store.offsets,
         "global_caps": base.store.caps,
         "global_sizes": base.store.sizes,
@@ -82,9 +82,12 @@ def save_sharded_index(path: str, sidx) -> None:
         np.savez(f, **common)
     code_blocks = _local_shard_blocks(sidx.shard_pq_codes)
     id_blocks = _local_shard_blocks(sidx.arrays["ids"])
+    off_blocks = _local_shard_blocks(sidx.arrays["offsets"])
+    size_blocks = _local_shard_blocks(sidx.arrays["sizes"])
     for s, codes in code_blocks.items():
         with open(os.path.join(path, f"shard_{s:05d}.npz"), "wb") as f:
-            np.savez(f, codes=codes, ids=id_blocks[s])
+            np.savez(f, codes=codes, ids=id_blocks[s],
+                     offsets=off_blocks[s], sizes=size_blocks[s])
 
 
 def load_sharded_index(path: str, mesh=None):
@@ -134,13 +137,20 @@ def load_sharded_index(path: str, mesh=None):
         glayout = dict(offsets=z["global_offsets"].copy(),
                        caps=z["global_caps"].copy(),
                        sizes=z["global_sizes"].copy())
-        shard_offsets = z["shard_offsets"].copy()
-        shard_sizes = z["shard_sizes"].copy()
-    codes, ids = [], []
+        if meta["format_version"] < 2:   # v1 kept the layout replicated
+            shard_offsets = z["shard_offsets"].copy()
+            shard_sizes = z["shard_sizes"].copy()
+    codes, ids, offs, sizs = [], [], [], []
     for s in range(S):
         with np.load(os.path.join(path, f"shard_{s:05d}.npz")) as z:
             codes.append(z["codes"].copy())
             ids.append(z["ids"].copy())
+            if meta["format_version"] >= 2:
+                offs.append(z["offsets"].copy())
+                sizs.append(z["sizes"].copy())
+    if meta["format_version"] >= 2:
+        shard_offsets = np.stack(offs)
+        shard_sizes = np.stack(sizs)
     parts = dict(
         offsets=shard_offsets,
         sizes=shard_sizes,

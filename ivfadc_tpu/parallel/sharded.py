@@ -247,7 +247,7 @@ class ShardedIVFADCIndex:
         self._h_offsets = np.asarray(parts["offsets"], np.int64)
         self._h_sizes = np.asarray(parts["sizes"], np.int64).copy()
         self._h_caps = np.asarray(parts["caps"], np.int64)
-        index.store.start_mutation_log()
+        self._mlog = index.store.attach_mutation_log()
         self._last_refresh = "init"
 
     # ------------------------------------------------------------------ build
@@ -324,8 +324,8 @@ class ShardedIVFADCIndex:
                 else jax.device_put(arr, shard_sh)
 
         arrays = {
-            "offsets": jax.device_put(np.asarray(parts["offsets"]), shard_sh),
-            "sizes": jax.device_put(np.asarray(parts["sizes"]), shard_sh),
+            "offsets": _put(parts["offsets"]),
+            "sizes": _put(parts["sizes"]),
             "ids": _put(parts["ids"]),
         }
         # PQ codes stay resident per shard: they are the LUT-mode scan input
@@ -374,7 +374,7 @@ class ShardedIVFADCIndex:
                 "a distributed-built sharded index has no single-host base "
                 "to re-partition from; rebuild with ShardedIVFADCIndex.build")
         store = self.index.store
-        log = store.drain_mutation_log()
+        log = self._mlog.drain() if getattr(self, "_mlog", None) else None
         if log is None or log["overflow"]:
             self.__init__(self.index, self.mesh)
             self._last_refresh = "full"
@@ -421,6 +421,8 @@ class ShardedIVFADCIndex:
                 o_dst = int(self._h_offsets[s, c])
                 new_sz = int(store.sizes[c])
                 span = max(new_sz, int(self._h_sizes[s, c]))
+                if span == 0:    # was empty and still is: nothing to patch
+                    continue
                 o_src = int(store.offsets[c])
                 rows = np.zeros((span, store.m), store.code_dtype)
                 idv = np.full(span, -1, np.int64)
@@ -433,6 +435,7 @@ class ShardedIVFADCIndex:
                 id_vals.append(idv)
                 code_rows.append(rows)
                 self._h_sizes[s, c] = new_sz
+        if cells and s_idx:
             s_np = np.concatenate(s_idx)
             r_np = np.concatenate(r_idx)
             id_np = np.concatenate(id_vals)
@@ -485,34 +488,42 @@ class ShardedIVFADCIndex:
             raise AssertionError("k has to be >= 1")
         if w < 1:
             raise AssertionError("w has to be >= 1")
-        if self.scan_mode == "dense" and k > 128:
-            # the dense kernels keep <=128 candidates per probe; the sharded
-            # view holds decoded residuals only (no PQ codes), so there is
-            # no LUT fallback here — ask for the base index's search instead
-            raise ValueError(
-                "sharded dense search supports k <= 128; build the sharded "
-                "view from an index with scan_mode='lut' for larger k")
+        dense = self.scan_mode == "dense"
+        if dense and k > 128:
+            # the dense kernels keep <=128 candidates per probe, but every
+            # shard also keeps its PQ codes resident (they are the
+            # persistence payload) — large k reroutes to the exact LUT scan,
+            # mirroring the base IVFADCIndex's k>128 fallback
+            dense = False
         cfg = self.index.config
         w = min(w, cfg.kc)
-        queries = np.asarray(queries, np.float32)
+        on_device = isinstance(queries, jax.Array)
+        if not on_device:
+            queries = np.asarray(queries, np.float32)
         B = queries.shape[0]
         n_data = self.mesh.shape[DATA_AXIS]
         Bp = _bucket_batch(max(B, n_data))
         Bp = ((Bp + n_data - 1) // n_data) * n_data
-        q = np.pad(queries, ((0, Bp - B), (0, 0)))
+        if on_device:
+            # keep device-resident queries on device (D2H on tunneled
+            # runtimes runs ~1 MB/s; resharding is device-side)
+            q = jnp.pad(queries.astype(jnp.float32), ((0, Bp - B), (0, 0)))
+        else:
+            q = np.pad(queries, ((0, Bp - B), (0, 0)))
         q = jax.device_put(q, NamedSharding(self.mesh, P(DATA_AXIS)))
         include_base = (cfg.score_mode == "reference"
                         or not self.index.quant_metric.residual_based)
         ids, dists = _sharded_search_impl(
             self.coarse, self.codebooks, self.rotation,
             self.arrays["offsets"], self.arrays["sizes"],
-            self.arrays["codes"], self.arrays["ids"], self.scale,
+            self.arrays["codes"] if dense else self.shard_pq_codes,
+            self.arrays["ids"], self.scale,
             self.arrays.get("ids2d"), q,
             mesh=self.mesh, k=k, w=w, window=self.window,
             metric=self.index.quant_metric, include_base=include_base,
             apply_rot=self.index.quantizer.method == "opq",
             residual_based=self.index.quant_metric.residual_based,
-            dense=self.scan_mode == "dense",
+            dense=dense,
             chunk=self.index._effective_chunk(), pb=cfg.scan_pb,
             merge=self.index._resolve_merge_mode(),
             nf=cfg.scan_fold_lanes, pos8=self.pos8,

@@ -250,3 +250,86 @@ def test_sharded_overlapped_merge_matches_blocking(base_index):
     # blocking default keeps exact single-chip parity
     ids_1, _ = idx.search_padded(q, 10, w=4)
     np.testing.assert_array_equal(ids_b, ids_1)
+
+
+def test_refresh_push_then_delete_in_empty_cell(random_data):
+    """Regression: a cell that was empty at partition time, gets a push, and
+    is emptied again before refresh() produced zero-span patches for every
+    dirty cell — the patch assembly must tolerate an all-zero-span log (and
+    still apply the id-renumbering ops)."""
+    from tests.conftest import build_random_index
+    idx = build_random_index(random_data, kc=100)
+    sidx = ShardedIVFADCIndex(idx, make_mesh(n_shards=4, n_data=2))
+    p = np.asarray(random_data[7], np.float32)
+    n0 = len(idx)
+    idx.push(p)              # lands in some cell (possibly empty)
+    idx.delete([n0])         # remove it again -> cell back to its old size
+    sidx.refresh()
+    assert sidx._last_refresh in ("incremental", "full")
+    q = np.asarray(random_data[:8], np.float32)
+    ids_s, _ = sidx.search_padded(q, 5, w=6)
+    ids_1, _ = idx.search_padded(q, 5, w=6)
+    for a, b in zip(ids_s, ids_1):
+        assert set(a[a >= 0]) == set(b[b >= 0])
+
+
+def test_two_views_refresh_independently(random_data):
+    """Regression: two sharded views over one base index each hold their own
+    mutation log — creating or refreshing one must not starve the other."""
+    from tests.conftest import build_random_index
+    rng = np.random.RandomState(23)
+    idx = build_random_index(random_data)
+    v1 = ShardedIVFADCIndex(idx, make_mesh(n_shards=4, n_data=2))
+    idx.push_batch(rng.rand(6, 10).astype(np.float32))
+    # second view created AFTER the push: must not wipe v1's pending log
+    v2 = ShardedIVFADCIndex(idx, make_mesh(n_shards=2, n_data=4))
+    idx.delete([1, 4])
+    v1.refresh()
+    v2.refresh()
+    q = np.asarray(random_data[:8], np.float32)
+    ids_1, _ = idx.search_padded(q, 5, w=6)
+    for v in (v1, v2):
+        ids_s, _ = v.search_padded(q, 5, w=6)
+        for a, b in zip(ids_s, ids_1):
+            assert set(a[a >= 0]) == set(b[b >= 0])
+
+
+def test_mutation_log_stops_accumulating_after_overflow():
+    """Regression: past its bounds the log collapses to a bare overflow flag
+    instead of growing without bound."""
+    from ivfadc_tpu.models.inverted import MutationLog
+    log = MutationLog(kc=8)
+    for i in range(5000):
+        log.log_op(("shift", i, 1))
+    assert log.overflow and len(log.ops) == 0 and len(log.cells) == 0
+    out = log.drain()
+    assert out["overflow"] and not out["ops"]
+    assert not log.overflow      # drained log starts clean
+
+
+def test_sharded_dense_k_gt_128_reroutes_to_lut(random_data):
+    """Regression: k>128 on a dense-mode sharded view must not raise — the
+    resident PQ codes let it take the exact LUT scan, matching the base
+    index's own k>128 reroute."""
+    from tests.conftest import build_random_index
+    idx = build_random_index(random_data)
+    sidx = ShardedIVFADCIndex(idx, make_mesh(n_shards=4, n_data=2))
+    q = np.asarray(random_data[:4], np.float32)
+    ids_s, d_s = sidx.search_padded(q, 200, w=100)
+    ids_1, d_1 = idx.search_padded(q, 200, w=100)
+    for a, b in zip(ids_s, ids_1):
+        assert set(a[a >= 0]) == set(b[b >= 0])
+
+
+def test_dispatch_accepts_device_queries(base_index):
+    """Device-resident queries stay on device (no host round-trip) and give
+    the same results as host input."""
+    import jax.numpy as jnp
+    base, idx = base_index
+    mesh = make_mesh(n_shards=4, n_data=2)
+    sidx = ShardedIVFADCIndex(idx, mesh)
+    q = base[:16]
+    ids_h, d_h = sidx.search_padded(q, 10, w=4)
+    ids_d, d_d = sidx.search_padded(jnp.asarray(q), 10, w=4)
+    np.testing.assert_array_equal(ids_h, ids_d)
+    np.testing.assert_allclose(d_h, d_d, rtol=1e-6)
