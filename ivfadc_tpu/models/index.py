@@ -20,6 +20,7 @@ most k results when the probed cells hold fewer than k points
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -155,13 +156,22 @@ def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, dscale,
     kc_ = offsets.shape[0]
     grouped = B * w >= 4 * kc_
     emit_ids = grouped and merge == "fold" and ids2d is not None
+    # in-kernel per-probe top-k extraction: the kernel's fold buffers are
+    # reduced to k_out (dist, id) pairs per probe before leaving VMEM, so the
+    # epilogue gathers ONE packed 128-lane row per probe (instead of two
+    # nf-lane arrays) and the final merge sees w*k_out candidates, not w*nf.
+    # Exact vs the non-extract fold path: each final winner lies in some
+    # probe's buffer, and per-probe extraction keeps that probe's k_out best.
+    extract_k = k_out if (emit_ids and 2 * k_out <= 128
+                          and not os.environ.get("IVFADC_NO_EXTRACT")) else 0
     if grouped:
         # probes share cells heavily -> cell-grouped kernel amortizes DMA
         out_d, out_p = grouped_dense_scan(
             cells, offsets, sizes, v, base, decoded, dscale,
             ids2d if emit_ids else None, kc=kc_,
             k_out=k_out, chunk=chunk, norm_coef=norm_coef, pb=pb, merge=merge,
-            nf=nf if merge == "fold" else 128, pos8=pos8, interpret=interpret)
+            nf=nf if merge == "fold" else 128, pos8=pos8, interpret=interpret,
+            extract_k=extract_k)
     else:
         # mostly-distinct cells (huge-kc regime): grouping would emit ~one
         # tile per probe with pb-1 wasted rows; scan one probe per row
@@ -174,6 +184,12 @@ def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, dscale,
     flat_d = out_d.reshape(B, w * n_cand)
     flat_p = out_p.reshape(B, w * n_cand)
     k_eff = min(k, w * n_cand)
+    if extract_k and flat_d.shape[1] % 128 != 0:
+        # pad the (small) merged candidate row to a lane multiple so the
+        # fused Pallas top-k kernel applies instead of the XLA fallback
+        pad = 128 - flat_d.shape[1] % 128
+        flat_d = jnp.pad(flat_d, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        flat_p = jnp.pad(flat_p, ((0, 0), (0, pad)), constant_values=-1)
     from ivfadc_tpu.ops.topk import topk_lastdim, topk_lastdim_payload
     if emit_ids:
         # the kernel already emitted external ids as the candidate payload;

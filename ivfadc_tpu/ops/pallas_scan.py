@@ -169,7 +169,8 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
                          *rest,                     # [ids_hbm,] outs, scratch
                          chunk: int, k_out: int, norm_coef: float,
                          pb: int, merge: str = "exact", nf: int = _CAND,
-                         int8: bool = False, emit_ids: bool = False):
+                         int8: bool = False, emit_ids: bool = False,
+                         extract: bool = False):
     """Query-grouped scan: the pb rows of this grid step are (up to) pb probes
     of the SAME cell, so one DMA chunk feeds a (pb, d) x (d, chunk) MXU
     matmul and every merge reduction runs row-parallel across sublanes.
@@ -197,8 +198,20 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
     holds lets such tiles skip their DMA entirely (valid only when the whole
     cell fits the 2-chunk buffer) — measured DMA volume roughly halves at
     SIFT1M serving shape. Slots stay statically indexed (ci % 2).
+
+    extract (emit_ids fold only): the candidate buffers become VMEM scratch
+    and the kernel finishes each tile with k_out min-extract passes, writing
+    ONE packed (pb, 128) i32 output row per probe: lanes [0, k_out) = the
+    top-k_out distances bitcast to i32, lanes [k_out, 2*k_out) = their
+    external ids. The epilogue then gathers a single 512 B row per probe
+    (instead of two nf-lane rows) and merges only w*k_out candidates — the
+    post-kernel gather was the largest cost of the search epilogue.
     """
-    if emit_ids:
+    if extract:
+        assert emit_ids and merge == "fold"
+        (ids_hbm, out_ref, cbuf, csems, ibuf, isems,
+         out_d_ref, out_p_ref, state) = rest
+    elif emit_ids:
         ids_hbm, out_d_ref, out_p_ref, cbuf, csems, ibuf, isems, state = rest
     else:
         out_d_ref, out_p_ref, cbuf, csems, state = rest
@@ -321,6 +334,30 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
 
     jax.lax.fori_loop(0, nchunks, body, 0)
 
+    if extract:
+        # finish the tile in-kernel: k_out min-extract passes over the
+        # scratch candidate buffers -> one packed (pb, 128) i32 output row
+        # per probe (dist bits at lanes [0,k_out), external ids at
+        # [k_out, 2k_out)). Empty lanes extract as +inf/-1 pairs.
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (pb, _CAND), 1)
+        nlane = jax.lax.broadcasted_iota(jnp.int32, (1, nf), 1)
+
+        def ext(j, acc):
+            x = out_d_ref[...]                              # (pb, nf)
+            m = jnp.min(x, axis=1, keepdims=True)
+            a = jnp.argmin(x, axis=1).astype(jnp.int32)[:, None]
+            sel = nlane == a
+            pay = jnp.sum(jnp.where(sel, out_p_ref[...], 0), axis=1,
+                          keepdims=True)
+            mb = jax.lax.bitcast_convert_type(m, jnp.int32)
+            acc = jnp.where(lane128 == j, mb, acc)
+            acc = jnp.where(lane128 == j + k_out, pay, acc)
+            out_d_ref[...] = jnp.where(sel, jnp.inf, x)
+            return acc
+
+        out_ref[...] = jax.lax.fori_loop(
+            0, k_out, ext, jnp.full((pb, _CAND), -1, jnp.int32))
+
     # record buffer contents for the next tile (whole cell resident only)
     @pl.when(jnp.logical_not(buffered))
     def _():
@@ -351,13 +388,14 @@ def _tile_map(counts, offsets, sizes, pb: int, T_max: int, kc: int):
 @functools.partial(
     jax.jit,
     static_argnames=("kc", "k_out", "chunk", "norm_coef", "pb", "merge",
-                     "nf", "pos8", "interpret"))
+                     "nf", "pos8", "interpret", "extract_k"))
 def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
                        ids2d=None,
                        *, kc: int,
                        k_out: int, chunk: int, norm_coef: float = 1.0,
                        pb: int = 16, merge: str = "exact", nf: int = _CAND,
-                       pos8: bool = False, interpret: bool = False):
+                       pos8: bool = False, interpret: bool = False,
+                       extract_k: int = 0):
     """Cell-major grouped scan. Groups the B*w probes by probed cell into
     tiles of 8, so each cell's postings are DMA'd once per tile (up to 8x
     less HBM traffic) and the MXU runs real (8, d) matmuls.
@@ -380,8 +418,18 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
     With ids2d (the posting ids in (cap_pad/128, 128) i32 layout; requires
     128-row-aligned cells and merge="fold"), cand_p instead holds EXTERNAL
     IDS — the caller skips position decoding entirely.
+
+    extract_k > 0 (requires ids2d; 2*extract_k <= 128): the kernel finishes
+    each tile with extract_k min-extract passes and the return value becomes
+    (dists (B, w, extract_k) f32 ascending-ish per probe, ids (B, w,
+    extract_k) i32 EXTERNAL) — per-probe top-extract_k instead of raw
+    nf-lane candidate buffers. Cuts the epilogue row gather from two
+    nf-lane arrays to one 128-lane array and the final merge from w*nf to
+    w*extract_k candidates.
     """
     emit_ids = ids2d is not None
+    if extract_k:
+        assert emit_ids and 2 * extract_k <= _CAND, (extract_k, emit_ids)
     if emit_ids:
         assert merge == "fold", "id emission requires fold merge"
     if merge == "exact":
@@ -428,7 +476,7 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
                              T_max=T_max, k_out=k_out, chunk=chunk,
                              norm_coef=norm_coef, pb=pb, merge=merge, nf=nf,
                              pos8=pos8, emit_ids=emit_ids, int8=int8,
-                             interpret=interpret)
+                             interpret=interpret, extract_k=extract_k)
     # stable sort by cell via a single packed-int sort: (cell << idx_bits) |
     # probe_idx — half the data movement of argsort's (key, iota) pair sort
     idx_bits = max(1, (P - 1).bit_length())
@@ -475,12 +523,13 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
                          T_max=T_max, k_out=k_out, chunk=chunk,
                          norm_coef=norm_coef, pb=pb, merge=merge, nf=nf,
                          pos8=pos8, emit_ids=emit_ids, int8=int8,
-                         interpret=interpret)
+                         interpret=interpret, extract_k=extract_k)
 
 
 def _grouped_call(tile_start, tile_size, v_tiles, base_tiles, decoded, scale,
                   ids2d, row, B, w, d, *, T_max, k_out, chunk, norm_coef, pb,
-                  merge, nf, pos8, emit_ids, int8, interpret):
+                  merge, nf, pos8, emit_ids, int8, interpret,
+                  extract_k: int = 0):
     """Invoke the grouped scan kernel on prepared tiles and map the output
     rows back to (B, w) probe order via `row` (shared by the counting-rank
     and sort-based preps of `grouped_dense_scan`)."""
@@ -509,33 +558,54 @@ def _grouped_call(tile_start, tile_size, v_tiles, base_tiles, decoded, scale,
         inputs.append(ids2d)
         scratch += [pltpu.VMEM((2, chunk // _CAND, _CAND), jnp.int32),
                     pltpu.SemaphoreType.DMA((2,))]
+    if extract_k:
+        # candidate buffers move to scratch; the packed top-k is the output
+        assert emit_ids and merge == "fold" and 2 * extract_k <= _CAND
+        scratch += [pltpu.VMEM((pb, nf), jnp.float32),
+                    pltpu.VMEM((pb, nf), jnp.int32)]
+        out_specs = [pl.BlockSpec((pb, _CAND), lambda t, *_: (t, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((T_max * pb, _CAND), jnp.int32)]
+    else:
+        out_specs = [
+            pl.BlockSpec((pb, nf), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pb, nf), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        p_dtype = jnp.int8 if (merge == "fold" and pos8 and not emit_ids) \
+            else jnp.int32
+        out_shape = [
+            jax.ShapeDtypeStruct((T_max * pb, nf), jnp.float32),
+            jax.ShapeDtypeStruct((T_max * pb, nf), p_dtype),
+        ]
     scratch.append(pltpu.SMEM((2,), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T_max,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((pb, nf), lambda t, *_: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((pb, nf), lambda t, *_: (t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
-    p_dtype = jnp.int8 if (merge == "fold" and pos8 and not emit_ids) \
-        else jnp.int32
-    kernel = functools.partial(_grouped_scan_kernel, chunk=chunk, k_out=k_out,
+    kernel = functools.partial(_grouped_scan_kernel, chunk=chunk,
+                               k_out=extract_k or k_out,
                                norm_coef=norm_coef, pb=pb, merge=merge, nf=nf,
-                               int8=int8, emit_ids=emit_ids)
-    out_d, out_p = pl.pallas_call(
+                               int8=int8, emit_ids=emit_ids,
+                               extract=bool(extract_k))
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((T_max * pb, nf), jnp.float32),
-            jax.ShapeDtypeStruct((T_max * pb, nf), p_dtype),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(*inputs)
+    if extract_k:
+        packed = outs[0][row]                                # ONE row gather
+        dists = jax.lax.bitcast_convert_type(
+            packed[:, :extract_k], jnp.float32)
+        pids = packed[:, extract_k:2 * extract_k]
+        return (dists.reshape(B, w, extract_k),
+                pids.reshape(B, w, extract_k))
+    out_d, out_p = outs
     return (out_d[row].reshape(B, w, nf),
             out_p[row].reshape(B, w, nf))
 
