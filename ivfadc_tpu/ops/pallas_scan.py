@@ -349,6 +349,9 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
             sel = nlane == a
             pay = jnp.sum(jnp.where(sel, out_p_ref[...], 0), axis=1,
                           keepdims=True)
+            # exhausted buffers re-select an already-masked (+inf) lane
+            # whose payload is stale — emit -1 so inf entries carry no id
+            pay = jnp.where(m == jnp.inf, -1, pay)
             mb = jax.lax.bitcast_convert_type(m, jnp.int32)
             acc = jnp.where(lane128 == j, mb, acc)
             acc = jnp.where(lane128 == j + k_out, pay, acc)

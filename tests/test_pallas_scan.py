@@ -159,3 +159,47 @@ def test_dense_scan_segmented_matches_single_launch(monkeypatch):
     d2, p2 = ps.dense_scan(st, sz, v, base, decoded, **args)
     np.testing.assert_array_equal(d1, np.asarray(d2))
     np.testing.assert_array_equal(p1, np.asarray(p2))
+
+
+def test_grouped_extract_matches_buffered_topk():
+    # extract_k mode must return exactly the per-probe top-k of the fold
+    # candidate buffers (dist bits + external ids packed in one 128-lane
+    # row), for cells with fewer candidates than k included
+    import jax.numpy as jnp
+    from ivfadc_tpu.ops import pallas_scan as ps
+
+    rng = np.random.RandomState(3)
+    kc, d = 8, 128
+    caps = np.full(kc, 256)                       # 128-row aligned cells
+    offsets = np.concatenate([[0], np.cumsum(caps[:-1])]).astype(np.int32)
+    sizes = rng.randint(3, 250, kc).astype(np.int32)   # incl. tiny cells
+    total = int(caps.sum())
+    decoded = jnp.asarray(rng.randn(total, d).astype(np.float32),
+                          jnp.bfloat16)
+    ids2d = jnp.asarray(
+        rng.permutation(total).astype(np.int32).reshape(-1, 128))
+    B, w, k = 16, 4, 10
+    cells = rng.randint(0, kc, (B, w)).astype(np.int32)
+    v = jnp.asarray(rng.randn(B, w, d).astype(np.float32))
+    base = jnp.asarray(rng.rand(B, w).astype(np.float32))
+    args = dict(kc=kc, k_out=k, chunk=128, norm_coef=1.0, pb=8,
+                merge="fold", nf=128, interpret=True)
+    bd, bp = ps.grouped_dense_scan(jnp.asarray(cells), jnp.asarray(offsets),
+                                   jnp.asarray(sizes), v, base, decoded,
+                                   None, ids2d, **args)
+    ed, ep = ps.grouped_dense_scan(jnp.asarray(cells), jnp.asarray(offsets),
+                                   jnp.asarray(sizes), v, base, decoded,
+                                   None, ids2d, extract_k=k, **args)
+    bd, bp = np.asarray(bd), np.asarray(bp)       # (B, w, 128) buffers
+    ed, ep = np.asarray(ed), np.asarray(ep)       # (B, w, k) extracted
+    assert ed.shape == (B, w, k) and ep.shape == (B, w, k)
+    for bi in range(B):
+        for wi in range(w):
+            order = np.argsort(bd[bi, wi], kind="stable")[:k]
+            np.testing.assert_array_equal(ed[bi, wi], bd[bi, wi][order])
+            finite = np.isfinite(ed[bi, wi])
+            np.testing.assert_array_equal(ep[bi, wi][finite],
+                                          bp[bi, wi][order][finite])
+            # empty-lane extraction: +inf distance pairs carry id -1
+            np.testing.assert_array_equal(ep[bi, wi][~finite],
+                                          np.full((~finite).sum(), -1))
