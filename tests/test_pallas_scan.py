@@ -161,7 +161,8 @@ def test_dense_scan_segmented_matches_single_launch(monkeypatch):
     np.testing.assert_array_equal(p1, np.asarray(p2))
 
 
-def test_grouped_extract_matches_buffered_topk():
+@pytest.mark.parametrize("nf,chunk,pb", [(128, 128, 8), (256, 256, 16)])
+def test_grouped_extract_matches_buffered_topk(nf, chunk, pb):
     # extract_k mode must return exactly the per-probe top-k of the fold
     # candidate buffers (dist bits + external ids packed in one 128-lane
     # row), for cells with fewer candidates than k included
@@ -182,15 +183,15 @@ def test_grouped_extract_matches_buffered_topk():
     cells = rng.randint(0, kc, (B, w)).astype(np.int32)
     v = jnp.asarray(rng.randn(B, w, d).astype(np.float32))
     base = jnp.asarray(rng.rand(B, w).astype(np.float32))
-    args = dict(kc=kc, k_out=k, chunk=128, norm_coef=1.0, pb=8,
-                merge="fold", nf=128, interpret=True)
+    args = dict(kc=kc, k_out=k, chunk=chunk, norm_coef=1.0, pb=pb,
+                merge="fold", nf=nf, interpret=True)
     bd, bp = ps.grouped_dense_scan(jnp.asarray(cells), jnp.asarray(offsets),
                                    jnp.asarray(sizes), v, base, decoded,
                                    None, ids2d, **args)
     ed, ep = ps.grouped_dense_scan(jnp.asarray(cells), jnp.asarray(offsets),
                                    jnp.asarray(sizes), v, base, decoded,
                                    None, ids2d, extract_k=k, **args)
-    bd, bp = np.asarray(bd), np.asarray(bp)       # (B, w, 128) buffers
+    bd, bp = np.asarray(bd), np.asarray(bp)       # (B, w, nf) buffers
     ed, ep = np.asarray(ed), np.asarray(ep)       # (B, w, k) extracted
     assert ed.shape == (B, w, k) and ep.shape == (B, w, k)
     for bi in range(B):
