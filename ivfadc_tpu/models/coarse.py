@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Tuple
 
 import jax
@@ -192,16 +193,29 @@ class TwoLevelCoarseQuantizer:
         v = jnp.broadcast_to((-2.0 * queries)[:, None, :], (B, gp, d))
         base = jnp.broadcast_to(
             jnp.sum(queries * queries, axis=1)[:, None], (B, gp))
+        k_out = min(w, 128)
+        # in-kernel per-probe top-w extraction (see ops/pallas_scan.py):
+        # halves the probe-order row gather and shrinks this merge from
+        # gp*nf to gp*w candidates — exact vs the buffered path
+        extract_k = k_out if (2 * k_out <= 128
+                              and not os.environ.get("IVFADC_NO_EXTRACT")) \
+            else 0
         out_d, out_p = grouped_dense_scan(
             gids, self.csr_offsets, self.csr_sizes, v, base, self.cent_scan,
             self.cent_scale, self.perm2d,
-            kc=self.group_centers.shape[0], k_out=min(w, 128), chunk=chunk,
+            kc=self.group_centers.shape[0], k_out=k_out, chunk=chunk,
             norm_coef=1.0, pb=64, merge="fold", nf=128,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu",
+            extract_k=extract_k)
         nf = out_d.shape[-1]
         flat_d = out_d.reshape(B, gp * nf)
         flat_p = out_p.reshape(B, gp * nf)   # emitted CELL ids (perm stream)
         w_eff = min(w, gp * nf)
+        if flat_d.shape[1] % 128 != 0:
+            pad = 128 - flat_d.shape[1] % 128
+            flat_d = jnp.pad(flat_d, ((0, 0), (0, pad)),
+                             constant_values=jnp.inf)
+            flat_p = jnp.pad(flat_p, ((0, 0), (0, pad)), constant_values=-1)
         dists, cells = topk_lastdim_payload(flat_d, flat_p, w_eff)
         cells = jnp.where(jnp.isfinite(dists) & (cells >= 0), cells, 0)
         if w_eff < w:
