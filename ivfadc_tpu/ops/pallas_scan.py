@@ -678,7 +678,7 @@ def dense_scan(starts, sizes, v, base, decoded, scale=None, *, k_out: int,
             num_scalar_prefetch=3,
             grid=((s1 - s0) // _PB,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pltpu.HBM),
                 pl.BlockSpec((8, d_dec), lambda s, *_: (0, 0),
                              memory_space=pltpu.VMEM),
