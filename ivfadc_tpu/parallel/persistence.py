@@ -26,6 +26,7 @@ import json
 import os
 from typing import Dict
 
+import jax
 import numpy as np
 
 FORMAT_VERSION = 2   # v2: per-shard offsets/sizes moved into the shard
@@ -33,11 +34,19 @@ FORMAT_VERSION = 2   # v2: per-shard offsets/sizes moved into the shard
                      # layout; v1 kept them replicated in common.npz)
 
 
-def _local_shard_blocks(arr) -> Dict[int, np.ndarray]:
+def _local_shard_blocks(arr, owned_only: bool = False) -> Dict[int, np.ndarray]:
     """shard-id -> this process's copy of that shard's block (leading shard
-    axis stripped). Replicas (data-axis copies) dedup to one entry."""
+    axis stripped). Replicas (data-axis copies) dedup to one entry.
+
+    owned_only: keep only shards whose replica 0 is local — under a real
+    multi-process runtime every data-axis replica of a shard is addressable
+    from its process, and without this filter each process would write every
+    shard file (racy concurrent writes of identical content). replica 0
+    designates exactly one owner process per shard."""
     out: Dict[int, np.ndarray] = {}
     for sh in arr.addressable_shards:
+        if owned_only and sh.replica_id != 0:
+            continue
         idx = sh.index[0]
         s = 0 if idx == slice(None) else int(idx.start or 0)
         if s not in out:
@@ -76,14 +85,17 @@ def save_sharded_index(path: str, sidx) -> None:
         meta["n_probe_groups"] = base.coarse.n_probe_groups
         common["group_centers"] = np.asarray(base.coarse.group_centers)
         common["group_members"] = np.asarray(base.coarse.members)
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(meta, f, indent=1)
-    with open(os.path.join(path, "common.npz"), "wb") as f:
-        np.savez(f, **common)
-    code_blocks = _local_shard_blocks(sidx.shard_pq_codes)
-    id_blocks = _local_shard_blocks(sidx.arrays["ids"])
-    off_blocks = _local_shard_blocks(sidx.arrays["offsets"])
-    size_blocks = _local_shard_blocks(sidx.arrays["sizes"])
+    if jax.process_index() == 0:
+        # replicated metadata has one writer (concurrent identical writes
+        # to the same file are a corruption risk, not a harmless no-op)
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        with open(os.path.join(path, "common.npz"), "wb") as f:
+            np.savez(f, **common)
+    code_blocks = _local_shard_blocks(sidx.shard_pq_codes, owned_only=True)
+    id_blocks = _local_shard_blocks(sidx.arrays["ids"], owned_only=True)
+    off_blocks = _local_shard_blocks(sidx.arrays["offsets"], owned_only=True)
+    size_blocks = _local_shard_blocks(sidx.arrays["sizes"], owned_only=True)
     for s, codes in code_blocks.items():
         with open(os.path.join(path, f"shard_{s:05d}.npz"), "wb") as f:
             np.savez(f, codes=codes, ids=id_blocks[s],
@@ -140,14 +152,44 @@ def load_sharded_index(path: str, mesh=None):
         if meta["format_version"] < 2:   # v1 kept the layout replicated
             shard_offsets = z["shard_offsets"].copy()
             shard_sizes = z["shard_sizes"].copy()
-    codes, ids, offs, sizs = [], [], [], []
+    # a multi-host restore may see only this process's shard files (each
+    # host saved the shards it owned): missing files are fine for shards
+    # no local device addresses — device_put never reads those rows — but
+    # an addressable shard's file missing is a hard error
+    local = set(jax.local_devices())
+    mesh_dev = np.asarray(mesh.devices)
+    shard_dim = list(mesh.axis_names).index(SHARD_AXIS)
+    addressable = {
+        s for s in range(S)
+        if any(d in local for d in np.moveaxis(mesh_dev, shard_dim, 0)[s].flat)
+    }
+    codes, ids, offs, sizs, missing = [], [], [], [], []
     for s in range(S):
-        with np.load(os.path.join(path, f"shard_{s:05d}.npz")) as z:
+        fp = os.path.join(path, f"shard_{s:05d}.npz")
+        if not os.path.exists(fp):
+            if s in addressable:
+                raise FileNotFoundError(
+                    f"shard {s} is addressable from process "
+                    f"{jax.process_index()} but {fp} is missing")
+            missing.append(s)
+            bufs = (codes, ids, offs, sizs) \
+                if meta["format_version"] >= 2 else (codes, ids)
+            for buf in bufs:
+                buf.append(None)
+            continue
+        with np.load(fp) as z:
             codes.append(z["codes"].copy())
             ids.append(z["ids"].copy())
             if meta["format_version"] >= 2:
                 offs.append(z["offsets"].copy())
                 sizs.append(z["sizes"].copy())
+    if missing:
+        ref = next(i for i in range(S) if i not in missing)
+        bufs = (codes, ids, offs, sizs) \
+            if meta["format_version"] >= 2 else (codes, ids)
+        for buf in bufs:
+            for s in missing:
+                buf[s] = np.zeros_like(buf[ref])
     if meta["format_version"] >= 2:
         shard_offsets = np.stack(offs)
         shard_sizes = np.stack(sizs)

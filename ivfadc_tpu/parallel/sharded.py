@@ -320,8 +320,20 @@ class ShardedIVFADCIndex:
         repl = NamedSharding(mesh, P())
 
         def _put(arr):
-            return arr if isinstance(arr, jax.Array) \
-                else jax.device_put(arr, shard_sh)
+            if isinstance(arr, jax.Array):
+                return arr
+            if jax.process_count() > 1:
+                # per-host restores zero-fill rows of shards they don't
+                # own, so the host copies legitimately DIFFER per process —
+                # a global device_put would reject that (it asserts
+                # cross-process equality). Transfer only the addressable
+                # rows and assemble the global array from them.
+                bufs = [jax.device_put(arr[idx], d)
+                        for d, idx in shard_sh
+                        .addressable_devices_indices_map(arr.shape).items()]
+                return jax.make_array_from_single_device_arrays(
+                    arr.shape, shard_sh, bufs)
+            return jax.device_put(arr, shard_sh)
 
         arrays = {
             "offsets": _put(parts["offsets"]),
@@ -540,7 +552,19 @@ class ShardedIVFADCIndex:
         drifts within cache-quantization noise (~1e-3 relative) — the
         throughput-oriented `search_stream` turns it on by default."""
         ids, dists, B = self._dispatch(queries, k, w, overlap)
-        return np.asarray(ids)[:B], np.asarray(dists)[:B]
+        return self._host(ids)[:B], self._host(dists)[:B]
+
+    def _host(self, arr: jax.Array) -> np.ndarray:
+        """Host-fetch a search output. Under a real multi-process runtime
+        the result is sharded over the data axis across processes, so a
+        plain np.asarray would touch non-addressable shards — replicate
+        first (one cross-process all_gather); single-process fetches
+        directly."""
+        if jax.process_count() > 1:
+            rep = jax.jit(lambda x: x,
+                          out_shardings=NamedSharding(self.mesh, P()))
+            arr = rep(arr)
+        return np.asarray(arr)
 
     def search_stream(self, queries, k: int, w: int = 1, *,
                       batch: int = 16384, overlap: bool = True
@@ -557,6 +581,6 @@ class ShardedIVFADCIndex:
             return (np.empty((0, k), np.int32), np.empty((0, k), np.float32))
         outs = [self._dispatch(queries[s:s + batch], k, w, overlap)
                 for s in range(0, n, batch)]
-        ids = np.concatenate([np.asarray(i)[:b] for i, _, b in outs])
-        dists = np.concatenate([np.asarray(d)[:b] for _, d, b in outs])
+        ids = np.concatenate([self._host(i)[:b] for i, _, b in outs])
+        dists = np.concatenate([self._host(d)[:b] for _, d, b in outs])
         return ids, dists
