@@ -161,8 +161,10 @@ def test_dense_scan_segmented_matches_single_launch(monkeypatch):
     np.testing.assert_array_equal(p1, np.asarray(p2))
 
 
-@pytest.mark.parametrize("nf,chunk,pb", [(128, 128, 8), (256, 256, 16)])
-def test_grouped_extract_matches_buffered_topk(nf, chunk, pb):
+@pytest.mark.parametrize("nf,chunk,pb,k",
+                         [(128, 128, 8, 10), (256, 256, 16, 10),
+                          (128, 128, 8, 64)])   # 2k == 128 boundary
+def test_grouped_extract_matches_buffered_topk(nf, chunk, pb, k):
     # extract_k mode must return exactly the per-probe top-k of the fold
     # candidate buffers (dist bits + external ids packed in one 128-lane
     # row), for cells with fewer candidates than k included
@@ -179,7 +181,7 @@ def test_grouped_extract_matches_buffered_topk(nf, chunk, pb):
                           jnp.bfloat16)
     ids2d = jnp.asarray(
         rng.permutation(total).astype(np.int32).reshape(-1, 128))
-    B, w, k = 16, 4, 10
+    B, w = 16, 4
     cells = rng.randint(0, kc, (B, w)).astype(np.int32)
     v = jnp.asarray(rng.randn(B, w, d).astype(np.float32))
     base = jnp.asarray(rng.rand(B, w).astype(np.float32))
