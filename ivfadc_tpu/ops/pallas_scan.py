@@ -37,6 +37,7 @@ addressing.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -602,7 +603,13 @@ def _grouped_call(tile_start, tile_size, v_tiles, base_tiles, decoded, scale,
         interpret=interpret,
     )(*inputs)
     if extract_k:
-        packed = outs[0][row]                                # ONE row gather
+        packed = outs[0]
+        if os.environ.get("IVFADC_EXTRACT_SLICE"):
+            # A/B knob: narrow the gathered rows to the live 2k lanes first
+            # (wins only if the runtime's row gather is byte-bound, not
+            # row-bound — see benchmarks/gather_microbench.py)
+            packed = jax.lax.slice_in_dim(packed, 0, 2 * extract_k, axis=1)
+        packed = packed[row]                                 # ONE row gather
         dists = jax.lax.bitcast_convert_type(
             packed[:, :extract_k], jnp.float32)
         pids = packed[:, extract_k:2 * extract_k]
