@@ -37,12 +37,14 @@ print(f"RESULT ms={{t*1e3:.3f}} qps={{nq/t:.0f}}")
 '''
 
 
-def run(no_extract: bool, nq: int, reps: int) -> str:
+def run(mode: str, nq: int, reps: int) -> str:
     env = os.environ.copy()
-    if no_extract:
+    env.pop("IVFADC_NO_EXTRACT", None)
+    env.pop("IVFADC_EXTRACT_SLICE", None)
+    if mode == "no-extract":
         env["IVFADC_NO_EXTRACT"] = "1"
-    else:
-        env.pop("IVFADC_NO_EXTRACT", None)
+    elif mode == "extract+slice":
+        env["IVFADC_EXTRACT_SLICE"] = "1"
     code = CHILD.format(root=ROOT, nq=nq, reps=reps)
     r = subprocess.run([sys.executable, "-c", code], env=env,
                        capture_output=True, text=True, cwd=ROOT,
@@ -59,9 +61,9 @@ def main():
     ap.add_argument("--nq", type=int, default=16384)
     ap.add_argument("--reps", type=int, default=12)
     args = ap.parse_args()
-    for label, off in (("extract", False), ("no-extract", True)):
-        print(f"[{label}] ...", flush=True)
-        print(f"[{label}] {run(off, args.nq, args.reps)}", flush=True)
+    for mode in ("extract", "no-extract", "extract+slice"):
+        print(f"[{mode}] ...", flush=True)
+        print(f"[{mode}] {run(mode, args.nq, args.reps)}", flush=True)
 
 
 if __name__ == "__main__":
