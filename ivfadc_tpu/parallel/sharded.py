@@ -561,8 +561,13 @@ class ShardedIVFADCIndex:
         first (one cross-process all_gather); single-process fetches
         directly."""
         if jax.process_count() > 1:
-            rep = jax.jit(lambda x: x,
-                          out_shardings=NamedSharding(self.mesh, P()))
+            rep = getattr(self, "_replicator", None)
+            if rep is None:
+                # one cached jitted identity per view — a fresh lambda per
+                # fetch would recompile the all_gather on every call
+                rep = jax.jit(lambda x: x,
+                              out_shardings=NamedSharding(self.mesh, P()))
+                self._replicator = rep
             arr = rep(arr)
         return np.asarray(arr)
 
