@@ -120,6 +120,21 @@ class IVFADCConfig:
                                     # the DMA traffic that bounds the scan;
                                     # quantization error is the same order
                                     # as bf16 rounding); "auto": int8
+    cell_align: int = 0             # cell capacity alignment in rows: 0 auto
+                                    # (128 when kc <= 16384 — enables the
+                                    # grouped kernel's in-kernel id emission
+                                    # — else 8, the tight Mosaic sublane
+                                    # minimum for huge-kc/tiny-cell indexes)
+    scan_gather_win: int = 64       # tiny-cell engine threshold (rows): in
+                                    # the huge-kc regime, probes of cells
+                                    # whose capacity fits this window are
+                                    # scored by one XLA row-gather + batched
+                                    # MXU contraction (ops/gather_scan.py)
+                                    # instead of >=128-row DMA chunks that
+                                    # would be >90% padding; bigger cells
+                                    # stay on the scan kernel and the two
+                                    # candidate lists merge exactly.
+                                    # 0 disables.
     scan_merge: str = "auto"        # in-kernel candidate upkeep:
                                     # "exact": k min-extract passes per chunk
                                     #   (true per-probe top-k);
@@ -156,6 +171,12 @@ class IVFADCConfig:
             raise ValueError(
                 f"scan_fold_lanes must be a 128-multiple dividing scan_chunk, "
                 f"got {self.scan_fold_lanes} (chunk {self.scan_chunk})")
+        if self.scan_gather_win < 0:
+            raise ValueError(
+                f"scan_gather_win must be >= 0, got {self.scan_gather_win}")
+        if self.cell_align not in (0, 8, 128):
+            raise ValueError(
+                f"cell_align must be 0 (auto), 8 or 128, got {self.cell_align}")
 
     def validate_for_data(self, n: int, d: int) -> None:
         """Build-time assertions, 1:1 with /root/reference/src/index.jl:116-125."""

@@ -122,13 +122,14 @@ def _dense_probe(cq, rotation, queries, *, w: int, metric: Metric,
     jax.jit,
     static_argnames=("k", "w", "chunk", "pb", "merge", "nf", "pos8",
                      "metric", "include_base", "apply_rot", "residual_based",
-                     "interpret"))
+                     "interpret", "gather_win", "gather_all"))
 def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, dscale,
                        ids2d, queries,
                        *, k: int, w: int, chunk: int, pb: int, merge: str,
                        nf: int, pos8: bool, metric: Metric,
                        include_base: bool, apply_rot: bool,
-                       residual_based: bool, interpret: bool):
+                       residual_based: bool, interpret: bool,
+                       gather_win: int = 0, gather_all: bool = False):
     """Pallas dense-scan search: coarse probe -> cell-grouped DMA'd matmul
     scan with on-chip top-k -> global merge. Mathematically identical scores
     to the LUT path (up to bf16 rounding): see ops/pallas_scan.py."""
@@ -139,14 +140,64 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, dscale,
     out_ids, out_dists = _dense_finish(
         cells, v, base, offsets, sizes, decoded, ids, dscale, ids2d,
         k=k, w=w, chunk=chunk, pb=pb, merge=merge, nf=nf,
-        norm_coef=norm_coef, pos8=pos8, interpret=interpret)
+        norm_coef=norm_coef, pos8=pos8, interpret=interpret,
+        gather_win=gather_win, gather_all=gather_all)
     return out_ids, metric.finalize(out_dists)
+
+
+def _pad_to_k(out_ids, out_dists, k):
+    k_eff = out_dists.shape[1]
+    if k_eff < k:
+        pad = k - k_eff
+        out_ids = jnp.pad(out_ids, ((0, 0), (0, pad)), constant_values=-1)
+        out_dists = jnp.pad(out_dists, ((0, 0), (0, pad)),
+                            constant_values=jnp.inf)
+    return out_ids, out_dists
+
+
+def _topk_ids(flat_d, flat_i, k, interpret):
+    """Top-k over id-payload candidate rows -> ((B, k) ids, (B, k) dists),
+    inf-padded past the per-query candidate supply."""
+    from ivfadc_tpu.ops.topk import topk_lastdim_payload
+    k_eff = min(k, flat_d.shape[1])
+    if flat_d.shape[1] % 128 != 0:
+        # pad the candidate row to a lane multiple so the fused Pallas
+        # top-k kernel applies instead of the XLA fallback
+        pad = 128 - flat_d.shape[1] % 128
+        flat_d = jnp.pad(flat_d, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        flat_i = jnp.pad(flat_i, ((0, 0), (0, pad)), constant_values=-1)
+    out_dists, out_ids = topk_lastdim_payload(flat_d, flat_i, k_eff,
+                                              interpret=interpret)
+    out_ids = jnp.where(jnp.isfinite(out_dists), out_ids, -1)
+    return _pad_to_k(out_ids, out_dists, k)
+
+
+def _topk_positions(flat_d, flat_p, k, cells, offsets, merge, n_cand, ids,
+                    interpret):
+    """Top-k over position-payload candidate rows, resolving winning slot
+    positions to external ids -> ((B, k) ids, (B, k) dists)."""
+    from ivfadc_tpu.ops.topk import topk_lastdim
+    k_eff = min(k, flat_d.shape[1])
+    out_dists, which = topk_lastdim(flat_d, k_eff, interpret=interpret)
+    sel = jnp.take_along_axis(flat_p, which, axis=1)
+    if merge == "fold":
+        # fold emits per-cell chunk-block indices: re-attach the winning
+        # probe's cell offset (only k values per query, not w*nf)
+        blk = sel.astype(jnp.int32)
+        probe = which // n_cand                       # (B, k_eff)
+        start = jnp.take_along_axis(offsets[cells], probe, axis=1)
+        pos = jnp.where(blk >= 0, start + blk * 128 + which % 128, -1)
+    else:
+        pos = sel
+    out_ids = jnp.where(pos >= 0, ids[jnp.where(pos >= 0, pos, 0)], -1)
+    out_ids = jnp.where(jnp.isfinite(out_dists), out_ids, -1)
+    return _pad_to_k(out_ids, out_dists, k)
 
 
 def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, dscale,
                   ids2d, *,
                   k, w, chunk, pb, merge, nf, norm_coef, interpret,
-                  pos8=False):
+                  pos8=False, gather_win=0, gather_all=False):
     """Engine selection + scan + per-device merge: returns raw (ids, dists)
     — callers apply `metric.finalize` exactly once (the sharded path merges
     across shards first). Shared by single-chip and shard-local search."""
@@ -156,15 +207,17 @@ def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, dscale,
     kc_ = offsets.shape[0]
     grouped = B * w >= 4 * kc_
     emit_ids = grouped and merge == "fold" and ids2d is not None
-    # in-kernel per-probe top-k extraction: the kernel's fold buffers are
-    # reduced to k_out (dist, id) pairs per probe before leaving VMEM, so the
-    # epilogue gathers ONE packed 128-lane row per probe (instead of two
-    # nf-lane arrays) and the final merge sees w*k_out candidates, not w*nf.
-    # Exact vs the non-extract fold path: each final winner lies in some
-    # probe's buffer, and per-probe extraction keeps that probe's k_out best.
-    extract_k = k_out if (emit_ids and 2 * k_out <= 128
-                          and not os.environ.get("IVFADC_NO_EXTRACT")) else 0
     if grouped:
+        # in-kernel per-probe top-k extraction: the kernel's fold buffers
+        # reduce to k_out (dist, id) pairs per probe before leaving VMEM, so
+        # the epilogue gathers ONE packed 128-lane row per probe (instead of
+        # two nf-lane arrays) and the final merge sees w*k_out candidates,
+        # not w*nf. Exact vs the non-extract fold path: each final winner
+        # lies in some probe's buffer, and per-probe extraction keeps that
+        # probe's k_out best.
+        extract_k = k_out if (emit_ids and 2 * k_out <= 128
+                              and not os.environ.get("IVFADC_NO_EXTRACT")) \
+            else 0
         # probes share cells heavily -> cell-grouped kernel amortizes DMA
         out_d, out_p = grouped_dense_scan(
             cells, offsets, sizes, v, base, decoded, dscale,
@@ -172,50 +225,50 @@ def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, dscale,
             k_out=k_out, chunk=chunk, norm_coef=norm_coef, pb=pb, merge=merge,
             nf=nf if merge == "fold" else 128, pos8=pos8, interpret=interpret,
             extract_k=extract_k)
-    else:
-        # mostly-distinct cells (huge-kc regime): grouping would emit ~one
-        # tile per probe with pb-1 wasted rows; scan one probe per row
-        from ivfadc_tpu.ops.pallas_scan import dense_scan
-        out_d, out_p = dense_scan(
-            offsets[cells], sizes[cells], v, base, decoded, dscale,
-            k_out=k_out, chunk=chunk, norm_coef=norm_coef, merge=merge,
-            nf=nf if merge == "fold" else 128, pos8=pos8, interpret=interpret)
+        n_cand = out_d.shape[-1]
+        flat_d = out_d.reshape(B, w * n_cand)
+        flat_p = out_p.reshape(B, w * n_cand)
+        if emit_ids:
+            return _topk_ids(flat_d, flat_p, k, interpret)
+        return _topk_positions(flat_d, flat_p, k, cells, offsets, merge,
+                               n_cand, ids, interpret)
+
+    # mostly-distinct cells (huge-kc regime): grouping would emit ~one tile
+    # per probe with pb-1 wasted rows
+    starts_p = offsets[cells]
+    sizes_p = sizes[cells]
+    g_res = None
+    if gather_win:
+        # tiny cells pad the scan kernel's >=128-row DMA chunks with >90%
+        # dead rows and go latency-bound on many small DMAs; gather exactly
+        # the probed rows and score them as one batched MXU contraction
+        # (ops/gather_scan.py). Cells larger than the window stay on the
+        # scan kernel below; the two candidate lists merge exactly.
+        from ivfadc_tpu.ops.gather_scan import gathered_scan
+        small = sizes_p <= gather_win
+        gd, gi = gathered_scan(starts_p, jnp.where(small, sizes_p, 0),
+                               v, base, decoded, dscale, ids,
+                               win=gather_win, norm_coef=norm_coef)
+        g_res = _topk_ids(gd.reshape(B, w * gather_win),
+                          gi.reshape(B, w * gather_win), k, interpret)
+        if gather_all:
+            return g_res
+        sizes_p = jnp.where(small, 0, sizes_p)
+    from ivfadc_tpu.ops.pallas_scan import dense_scan
+    out_d, out_p = dense_scan(
+        starts_p, sizes_p, v, base, decoded, dscale,
+        k_out=k_out, chunk=chunk, norm_coef=norm_coef, merge=merge,
+        nf=nf if merge == "fold" else 128, pos8=pos8, interpret=interpret)
     n_cand = out_d.shape[-1]
-    flat_d = out_d.reshape(B, w * n_cand)
-    flat_p = out_p.reshape(B, w * n_cand)
-    k_eff = min(k, w * n_cand)
-    if extract_k and flat_d.shape[1] % 128 != 0:
-        # pad the (small) merged candidate row to a lane multiple so the
-        # fused Pallas top-k kernel applies instead of the XLA fallback
-        pad = 128 - flat_d.shape[1] % 128
-        flat_d = jnp.pad(flat_d, ((0, 0), (0, pad)), constant_values=jnp.inf)
-        flat_p = jnp.pad(flat_p, ((0, 0), (0, pad)), constant_values=-1)
-    from ivfadc_tpu.ops.topk import topk_lastdim, topk_lastdim_payload
-    if emit_ids:
-        # the kernel already emitted external ids as the candidate payload;
-        # the fused top-k carries them out in one pass
-        out_dists, out_ids = topk_lastdim_payload(flat_d, flat_p, k_eff,
-                                                  interpret=interpret)
-    else:
-        out_dists, which = topk_lastdim(flat_d, k_eff, interpret=interpret)
-        sel = jnp.take_along_axis(flat_p, which, axis=1)
-        if merge == "fold":
-            # fold emits per-cell chunk-block indices: re-attach the winning
-            # probe's cell offset (only k values per query, not w*nf)
-            blk = sel.astype(jnp.int32)
-            probe = which // n_cand                       # (B, k_eff)
-            start = jnp.take_along_axis(offsets[cells], probe, axis=1)
-            pos = jnp.where(blk >= 0, start + blk * 128 + which % 128, -1)
-        else:
-            pos = sel
-        out_ids = jnp.where(pos >= 0, ids[jnp.where(pos >= 0, pos, 0)], -1)
-    out_ids = jnp.where(jnp.isfinite(out_dists), out_ids, -1)
-    if k_eff < k:
-        pad = k - k_eff
-        out_ids = jnp.pad(out_ids, ((0, 0), (0, pad)), constant_values=-1)
-        out_dists = jnp.pad(out_dists, ((0, 0), (0, pad)),
-                            constant_values=jnp.inf)
-    return out_ids, out_dists
+    s_res = _topk_positions(out_d.reshape(B, w * n_cand),
+                            out_p.reshape(B, w * n_cand), k, cells, offsets,
+                            merge, n_cand, ids, interpret)
+    if g_res is None:
+        return s_res
+    # hybrid merge: any global winner is in one side's top-k
+    return _topk_ids(jnp.concatenate([g_res[1], s_res[1]], axis=1),
+                     jnp.concatenate([g_res[0], s_res[0]], axis=1),
+                     k, interpret)
 
 
 def _bucket_batch(b: int) -> int:
@@ -335,7 +388,7 @@ class IVFADCIndex:
             # size-bounded), so enable it everywhere the grouped engine can
             # run. Huge-kc indexes (Deep1B-style) use the per-probe engine
             # and keep the tight 8-row alignment.
-            align = 128 if config.kc <= 16384 else 8
+            align = config.cell_align or (128 if config.kc <= 16384 else 8)
             store = PostingStore.build_device(cres.assignments, codes,
                                               config.kc,
                                               slack=config.cell_slack,
@@ -397,7 +450,9 @@ class IVFADCIndex:
                 metric=self.quant_metric, include_base=include_base,
                 apply_rot=self.quantizer.method == "opq",
                 residual_based=self.quant_metric.residual_based,
-                interpret=jax.default_backend() == "cpu")
+                interpret=jax.default_backend() == "cpu",
+                gather_win=self._gather_plan()[0],
+                gather_all=self._gather_plan()[1])
         else:
             dev = self.store.device_view()
             out_ids, out_dists = _search_impl(
@@ -431,6 +486,30 @@ class IVFADCIndex:
                           ((p95 + nf - 1) // nf) * nf))
         self._eff_chunk_cache = (caps, eff)
         return eff
+
+    def _gather_plan(self) -> Tuple[int, bool]:
+        """Static plan for the tiny-cell gathered engine (see
+        ops/gather_scan.py): (window rows, whether it covers every cell).
+        The window is the max cell capacity when that fits the configured
+        threshold (pure gather — the scan kernel never launches), else the
+        p95 capacity when that fits (hybrid: rare oversized cells stay on
+        the scan kernel). (0, False) disables. Cached per caps array."""
+        limit = self.config.scan_gather_win
+        caps = self.store.caps
+        if not limit or len(caps) == 0:
+            return 0, False
+        cache = getattr(self, "_gather_plan_cache", None)
+        if cache is not None and cache[0] is caps:
+            return cache[1]
+        up8 = lambda x: ((max(int(x), 1) + 7) // 8) * 8
+        win_max = up8(caps.max())
+        if win_max <= limit:
+            plan = (win_max, True)
+        else:
+            win95 = up8(np.percentile(caps, 95))
+            plan = (win95, False) if win95 <= limit else (0, False)
+        self._gather_plan_cache = (caps, plan)
+        return plan
 
     def _resolve_cache(self) -> str:
         cache = self.config.scan_cache

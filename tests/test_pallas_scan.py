@@ -206,3 +206,38 @@ def test_grouped_extract_matches_buffered_topk(nf, chunk, pb, k):
             # empty-lane extraction: +inf distance pairs carry id -1
             np.testing.assert_array_equal(ep[bi, wi][~finite],
                                           np.full((~finite).sum(), -1))
+
+
+def test_gathered_engine_matches_lut():
+    # ungrouped regime (B*w << 4*kc is false here, so force via small batch)
+    # with tiny cells: the gathered engine must cover every cell and match
+    # the exact LUT scan
+    base, idx = _build(n=300, kc=64, m=4, scan_mode="dense", cell_align=8)
+    win, covers_all = idx._gather_plan()
+    assert covers_all and 0 < win <= idx.config.scan_gather_win
+    _, idx_lut = _build(n=300, kc=64, m=4, scan_mode="lut", cell_align=8)
+    q = base[:8]
+    assert q.shape[0] * 8 < 4 * 64          # ungrouped engine selection
+    _compare(idx, idx_lut, q, k=10, w=8)
+
+
+def test_gathered_hybrid_oversized_cells_match_lut():
+    # one heavily-populated cell above the gather window: its probes must
+    # flow through the scan kernel and merge exactly with gathered results
+    rng = np.random.RandomState(5)
+    d, kc = 16, 32
+    centers = rng.randn(kc, d).astype(np.float32) * 6
+    small = np.concatenate(
+        [c + 0.1 * rng.randn(6, d).astype(np.float32) for c in centers[1:]])
+    big = centers[0] + 0.1 * rng.randn(400, d).astype(np.float32)
+    base = np.concatenate([big, small])
+    kw = dict(kc=kc, k=16, m=4, seed=0, coarse_maxiter=10,
+              quantization_maxiter=10, scan_gather_win=16, cell_align=8)
+    idx = IVFADCIndex.build(base, scan_mode="dense", **kw)
+    win, covers_all = idx._gather_plan()
+    assert win and not covers_all, (win, covers_all)
+    assert int(idx.store.caps.max()) > win   # the big cell really oversizes
+    idx_lut = IVFADCIndex.build(base, scan_mode="lut", **kw)
+    q = np.concatenate([big[:4], small[:4]])  # probe both regimes
+    assert q.shape[0] * 4 < 4 * kc            # ungrouped engine selection
+    _compare(idx, idx_lut, q, k=10, w=4)
