@@ -89,7 +89,7 @@ def partition_store(store, n_shards: int, align: int = 0):
 def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
                         ids2d_l, q_l, *, k, w, metric, include_base,
                         apply_rot, residual_based, chunk, pb, merge, nf,
-                        pos8, interpret):
+                        pos8, interpret, gather_win=0, gather_all=False):
     """Shard-local dense search — the exact single-chip pipeline (fused
     coarse probe + grouped scan + in-kernel id emission) run on the local
     CSR arrays. Returns raw per-shard (B, k) candidates."""
@@ -101,14 +101,16 @@ def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
     return _dense_finish(
         cells, v, base, off_l, siz_l, dec_l, ids_l, scale_l, ids2d_l,
         k=k, w=w, chunk=chunk, pb=pb, merge=merge, nf=nf,
-        norm_coef=norm_coef, pos8=pos8, interpret=interpret)
+        norm_coef=norm_coef, pos8=pos8, interpret=interpret,
+        gather_win=gather_win, gather_all=gather_all)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "k", "w", "window", "metric", "include_base",
                      "apply_rot", "residual_based", "dense", "chunk", "pb",
-                     "merge", "nf", "pos8", "interpret", "overlap"))
+                     "merge", "nf", "pos8", "interpret", "overlap",
+                     "gather_win", "gather_all"))
 def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                          dscale, ids2d, queries, *, mesh, k: int, w: int,
                          window: int,
@@ -117,6 +119,7 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                          chunk: int = 1024, pb: int = 32,
                          merge: str = "exact", nf: int = 128,
                          pos8: bool = False, interpret: bool = False,
+                         gather_win: int = 0, gather_all: bool = False,
                          overlap: bool = True):
     """Queries (B, d) replicated over shard / sharded over data; per-shard CSR
     arrays stacked on a leading shard axis. `codes` is the flat PQ-code array
@@ -145,7 +148,8 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                     ids2d_l, q_b, k=k, w=w, metric=metric,
                     include_base=include_base, apply_rot=apply_rot,
                     residual_based=residual_based, chunk=chunk, pb=pb,
-                    merge=merge, nf=nf, pos8=pos8, interpret=interpret)
+                    merge=merge, nf=nf, pos8=pos8, interpret=interpret,
+                    gather_win=gather_win, gather_all=gather_all)
             cells, cdists = cq_l.search(q_b, w)
             cent = cq_l.centroids[cells]
             if residual_based:
@@ -364,6 +368,30 @@ class ShardedIVFADCIndex:
         else:
             arrays["codes"] = self.shard_pq_codes
         self.arrays = arrays
+        # static plan for the tiny-cell gathered engine on the per-shard
+        # scan (ops/gather_scan.py) — per-shard caps reconstruct from the
+        # offsets deltas (foreign cells have zero capacity on a shard)
+        self.gather_plan = (0, False)
+        limit = base.config.scan_gather_win
+        offs_h = np.asarray(parts["offsets"], np.int64)
+        if limit and offs_h.size:
+            total = int(self.shard_pq_codes.shape[1])
+            caps_h = np.diff(np.concatenate(
+                [offs_h, np.full((offs_h.shape[0], 1), total)], axis=1),
+                axis=1)
+            # the last cell's delta absorbs the shard's lane padding; clamp
+            # with the true max capacity so it can't fake a huge cell
+            caps_h = np.minimum(caps_h, parts["max_cap"])
+            caps_h = caps_h[caps_h > 0]
+            if caps_h.size:
+                up8 = lambda x: ((max(int(x), 1) + 7) // 8) * 8
+                win_max = up8(caps_h.max())
+                if win_max <= limit:
+                    self.gather_plan = (win_max, True)
+                else:
+                    win95 = up8(np.percentile(caps_h, 95))
+                    if win95 <= limit:
+                        self.gather_plan = (win95, False)
         self.codebooks = jax.device_put(
             np.asarray(quantizer.codebooks), repl)
         self.rotation = jax.device_put(
@@ -539,6 +567,8 @@ class ShardedIVFADCIndex:
             chunk=self.index._effective_chunk(), pb=cfg.scan_pb,
             merge=self.index._resolve_merge_mode(),
             nf=cfg.scan_fold_lanes, pos8=self.pos8,
+            gather_win=self.gather_plan[0] if dense else 0,
+            gather_all=self.gather_plan[1] if dense else False,
             interpret=jax.default_backend() == "cpu",
             overlap=overlap)
         return ids, dists, B

@@ -131,6 +131,29 @@ def test_sharded_dense_scan_matches_single_chip(base_index):
                                rtol=2e-2, atol=1e-2)
 
 
+def test_sharded_gathered_engine_matches_single_chip(base_index):
+    # tiny 8-row-aligned cells + small batch: the per-shard local search
+    # must take the gathered engine (ops/gather_scan.py) and stay exact
+    # vs the single-chip path
+    base, _ = base_index
+    idx = IVFADCIndex.build(base, kc=16, k=32, m=4, seed=0,
+                            scan_mode="dense", cell_align=8,
+                            scan_gather_win=256)
+    mesh = make_mesh(n_shards=4, n_data=2)
+    sidx = ShardedIVFADCIndex(idx, mesh)
+    assert sidx.scan_mode == "dense"
+    win, _ = sidx.gather_plan
+    assert win > 0, sidx.gather_plan
+    q = base[:8]
+    assert (q.shape[0] // 2) * 4 < 4 * 16   # per-shard ungrouped regime
+    ids_s, d_s = sidx.search_padded(q, 10, w=4)
+    ids_1, d_1 = idx.search_padded(q, 10, w=4)
+    same = [set(a[a >= 0]) == set(b[b >= 0]) for a, b in zip(ids_s, ids_1)]
+    assert np.mean(same) == 1.0
+    np.testing.assert_allclose(np.sort(d_s, 1), np.sort(d_1, 1),
+                               rtol=2e-2, atol=1e-2)
+
+
 def test_sharded_refresh_after_dynamic_ops(random_data):
     """ShardedIVFADCIndex.refresh() re-snapshots the base index after
     push/delete; results must equal the single-chip index afterwards."""
