@@ -32,7 +32,9 @@ rng = np.random.RandomState(1)
 queries = (base[rng.choice(len(base), nq)] +
            0.05 * rng.randn(nq, 128).astype(np.float32))
 qdev = jnp.asarray(queries)
-t = timeit(lambda: idx._device_search(qdev, k, w), reps={reps}, warm=3)
+# vary inputs per rep: identical pure calls can be memoized by the runtime
+t = timeit(lambda i: idx._device_search(qdev + 1e-4 * i, k, w),
+           reps={reps}, warm=3)
 print(f"RESULT ms={{t*1e3:.3f}} qps={{nq/t:.0f}}")
 '''
 
