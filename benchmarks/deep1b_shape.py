@@ -46,7 +46,8 @@ else:
     idx.save(cache)
 gather = {gather!r}
 if gather == "off":
-    idx.config.scan_gather_win = 0
+    import dataclasses
+    idx.config = dataclasses.replace(idx.config, scan_gather_win=0)
     idx._gather_plan_cache = None
 print("gather plan:", idx._gather_plan(), flush=True)
 key = jax.random.PRNGKey(1)

@@ -31,6 +31,9 @@ import numpy as np
 
 from ivfadc_tpu.ops.metrics import Metric, get_metric
 
+# read once at import — see models/index.py (trace-time flag)
+_NO_EXTRACT = bool(os.environ.get("IVFADC_NO_EXTRACT"))
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
@@ -197,8 +200,7 @@ class TwoLevelCoarseQuantizer:
         # in-kernel per-probe top-w extraction (see ops/pallas_scan.py):
         # halves the probe-order row gather and shrinks this merge from
         # gp*nf to gp*w candidates — exact vs the buffered path
-        extract_k = k_out if (2 * k_out <= 128
-                              and not os.environ.get("IVFADC_NO_EXTRACT")) \
+        extract_k = k_out if 2 * k_out <= 128 and not _NO_EXTRACT \
             else 0
         out_d, out_p = grouped_dense_scan(
             gids, self.csr_offsets, self.csr_sizes, v, base, self.cent_scan,

@@ -37,6 +37,12 @@ from ivfadc_tpu.models.coarse import (NaiveCoarseQuantizer,
 from ivfadc_tpu.models.inverted import PostingStore
 from ivfadc_tpu.utils.profiling import BuildTimer
 
+# A/B kill switch for the in-kernel extraction epilogue. Read ONCE at
+# import: the flag reaches jitted code at trace time and is not part of
+# any jit cache key, so in-process toggling could never work reliably —
+# process-start-only by design (benchmarks A/B via subprocesses).
+_NO_EXTRACT = bool(os.environ.get("IVFADC_NO_EXTRACT"))
+
 # auto-cap for PQ codebook training when quantization_sample is unset (0)
 _PQ_TRAIN_AUTOCAP = 1 << 20
 
@@ -216,8 +222,7 @@ def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, dscale,
         # lies in some probe's buffer, and per-probe extraction keeps that
         # probe's k_out best.
         extract_k = k_out if (emit_ids and 2 * k_out <= 128
-                              and not os.environ.get("IVFADC_NO_EXTRACT")) \
-            else 0
+                              and not _NO_EXTRACT) else 0
         # probes share cells heavily -> cell-grouped kernel amortizes DMA
         out_d, out_p = grouped_dense_scan(
             cells, offsets, sizes, v, base, decoded, dscale,
@@ -489,26 +494,23 @@ class IVFADCIndex:
 
     def _gather_plan(self) -> Tuple[int, bool]:
         """Static plan for the tiny-cell gathered engine (see
-        ops/gather_scan.py): (window rows, whether it covers every cell).
-        The window is the max cell capacity when that fits the configured
-        threshold (pure gather — the scan kernel never launches), else the
-        p95 capacity when that fits (hybrid: rare oversized cells stay on
-        the scan kernel). (0, False) disables. Cached per caps array."""
+        ops/gather_scan.py::plan_gather): (window rows, covers_all).
+        Cached per (caps array identity, caps max): `_grow_cell` mutates
+        caps IN PLACE, so identity alone would keep serving a covers_all
+        window that no longer bounds the grown cell — silently dropping its
+        postings. An unchanged max keeps the cached window valid (win >=
+        old max >= every cap)."""
         limit = self.config.scan_gather_win
         caps = self.store.caps
         if not limit or len(caps) == 0:
             return 0, False
+        max_cap = int(caps.max())
         cache = getattr(self, "_gather_plan_cache", None)
-        if cache is not None and cache[0] is caps:
-            return cache[1]
-        up8 = lambda x: ((max(int(x), 1) + 7) // 8) * 8
-        win_max = up8(caps.max())
-        if win_max <= limit:
-            plan = (win_max, True)
-        else:
-            win95 = up8(np.percentile(caps, 95))
-            plan = (win95, False) if win95 <= limit else (0, False)
-        self._gather_plan_cache = (caps, plan)
+        if cache is not None and cache[0] is caps and cache[1] == max_cap:
+            return cache[2]
+        from ivfadc_tpu.ops.gather_scan import plan_gather
+        plan = plan_gather(caps, limit, max_cap=max_cap)
+        self._gather_plan_cache = (caps, max_cap, plan)
         return plan
 
     def _resolve_cache(self) -> str:

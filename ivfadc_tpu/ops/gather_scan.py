@@ -73,3 +73,31 @@ def gathered_scan(starts, sizes, v, base, decoded, scale=None, ids=None, *,
         else jnp.where(valid, idx, -1)
     return (scores.reshape(B, w, win),
             out_ids.astype(jnp.int32).reshape(B, w, win))
+
+
+def plan_gather(caps, limit: int, max_cap=None):
+    """Shared gather-engine plan policy: (window rows, covers_all).
+
+    caps: positive cell capacities (zeros allowed; ignored) — must be a
+    PROCESS-INVARIANT array under multi-process runtimes (the window is a
+    jit static: divergent values would compile different SPMD programs).
+    max_cap: overrides the max used for the covers_all decision (e.g. the
+    true per-shard max when `caps` is the global layout).
+
+    covers_all=True is correctness-critical: it promises the window bounds
+    every cell CAPACITY (sizes never exceed caps), so the scan kernel can
+    be skipped entirely. The hybrid window is routing-only — oversized
+    cells fall back to the scan kernel at runtime.
+    """
+    import numpy as np
+    caps = np.asarray(caps)
+    caps = caps[caps > 0]
+    if not limit or caps.size == 0:
+        return 0, False
+    up8 = lambda x: ((max(int(x), 1) + 7) // 8) * 8
+    mc = int(max_cap) if max_cap is not None else int(caps.max())
+    win_max = up8(mc)
+    if win_max <= limit:
+        return win_max, True
+    win95 = up8(np.percentile(caps, 95))
+    return (win95, False) if win95 <= limit else (0, False)

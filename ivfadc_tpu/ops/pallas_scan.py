@@ -44,6 +44,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# A/B knob, read ONCE at import (reaches jitted code at trace time —
+# process-start-only by design): narrow the extract epilogue's gathered
+# rows to the live 2k lanes. See benchmarks/gather_microbench.py.
+_EXTRACT_SLICE = bool(os.environ.get("IVFADC_EXTRACT_SLICE"))
+
 # Rows per DMA chunk. 512 rows x 128 dims x 2B = 128 KB per buffer slot.
 DEFAULT_CHUNK = 1024
 _PB = 8        # probes per grid step (Mosaic sublane tile)
@@ -604,7 +609,7 @@ def _grouped_call(tile_start, tile_size, v_tiles, base_tiles, decoded, scale,
     )(*inputs)
     if extract_k:
         packed = outs[0]
-        if os.environ.get("IVFADC_EXTRACT_SLICE"):
+        if _EXTRACT_SLICE:
             # A/B knob: narrow the gathered rows to the live 2k lanes first
             # (wins only if the runtime's row gather is byte-bound, not
             # row-bound — see benchmarks/gather_microbench.py)

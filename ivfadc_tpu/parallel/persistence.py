@@ -85,13 +85,18 @@ def save_sharded_index(path: str, sidx) -> None:
         meta["n_probe_groups"] = base.coarse.n_probe_groups
         common["group_centers"] = np.asarray(base.coarse.group_centers)
         common["group_members"] = np.asarray(base.coarse.members)
-    if jax.process_index() == 0:
-        # replicated metadata has one writer (concurrent identical writes
-        # to the same file are a corruption risk, not a harmless no-op)
-        with open(os.path.join(path, "manifest.json"), "w") as f:
-            json.dump(meta, f, indent=1)
-        with open(os.path.join(path, "common.npz"), "wb") as f:
-            np.savez(f, **common)
+    # replicated metadata: EVERY process writes it (per-host storage needs
+    # each directory complete), via write-temp + atomic rename so identical
+    # concurrent writers on a shared filesystem can't tear the file
+    pidx = jax.process_index()
+    tmp = os.path.join(path, f".manifest.json.p{pidx}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
+    tmp = os.path.join(path, f".common.npz.p{pidx}")
+    with open(tmp, "wb") as f:
+        np.savez(f, **common)
+    os.replace(tmp, os.path.join(path, "common.npz"))
     code_blocks = _local_shard_blocks(sidx.shard_pq_codes, owned_only=True)
     id_blocks = _local_shard_blocks(sidx.arrays["ids"], owned_only=True)
     off_blocks = _local_shard_blocks(sidx.arrays["offsets"], owned_only=True)

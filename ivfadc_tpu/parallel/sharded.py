@@ -369,29 +369,17 @@ class ShardedIVFADCIndex:
             arrays["codes"] = self.shard_pq_codes
         self.arrays = arrays
         # static plan for the tiny-cell gathered engine on the per-shard
-        # scan (ops/gather_scan.py) — per-shard caps reconstruct from the
-        # offsets deltas (foreign cells have zero capacity on a shard)
-        self.gather_plan = (0, False)
-        limit = base.config.scan_gather_win
-        offs_h = np.asarray(parts["offsets"], np.int64)
-        if limit and offs_h.size:
-            total = int(self.shard_pq_codes.shape[1])
-            caps_h = np.diff(np.concatenate(
-                [offs_h, np.full((offs_h.shape[0], 1), total)], axis=1),
-                axis=1)
-            # the last cell's delta absorbs the shard's lane padding; clamp
-            # with the true max capacity so it can't fake a huge cell
-            caps_h = np.minimum(caps_h, parts["max_cap"])
-            caps_h = caps_h[caps_h > 0]
-            if caps_h.size:
-                up8 = lambda x: ((max(int(x), 1) + 7) // 8) * 8
-                win_max = up8(caps_h.max())
-                if win_max <= limit:
-                    self.gather_plan = (win_max, True)
-                else:
-                    win95 = up8(np.percentile(caps_h, 95))
-                    if win95 <= limit:
-                        self.gather_plan = (win95, False)
+        # scan (ops/gather_scan.py::plan_gather). Inputs must be
+        # PROCESS-INVARIANT (the window is a jit static inside an SPMD
+        # program): parts["max_cap"] is the true per-shard capacity max,
+        # identical everywhere (manifest field on load, derived from the
+        # replicated global layout at build); the hybrid p95 uses the
+        # global layout caps (also replicated) — routing-only, so the
+        # slack-inflated global caps merely route conservatively.
+        from ivfadc_tpu.ops.gather_scan import plan_gather
+        self.gather_plan = plan_gather(
+            np.asarray(base.store.caps), base.config.scan_gather_win,
+            max_cap=parts["max_cap"])
         self.codebooks = jax.device_put(
             np.asarray(quantizer.codebooks), repl)
         self.rotation = jax.device_put(

@@ -241,3 +241,29 @@ def test_gathered_hybrid_oversized_cells_match_lut():
     q = np.concatenate([big[:4], small[:4]])  # probe both regimes
     assert q.shape[0] * 4 < 4 * kc            # ungrouped engine selection
     _compare(idx, idx_lut, q, k=10, w=4)
+
+
+def test_gathered_plan_survives_in_place_cell_growth():
+    # _grow_cell mutates caps IN PLACE; the cached covers_all plan must be
+    # invalidated or the grown cell's postings silently vanish from search
+    rng = np.random.RandomState(9)
+    d, kc = 16, 32
+    centers = rng.randn(kc, d).astype(np.float32) * 8
+    base = np.concatenate(
+        [c + 0.05 * rng.randn(8, d).astype(np.float32) for c in centers])
+    idx = IVFADCIndex.build(base, kc=kc, k=16, m=4, seed=0,
+                            coarse_maxiter=10, quantization_maxiter=10,
+                            scan_mode="dense", cell_align=8,
+                            index_dtype="uint32")
+    win0, covers0 = idx._gather_plan()
+    assert covers0 and win0 > 0
+    idx.search_padded(base[:8], 5, w=2)          # populate the plan cache
+    # flood one cluster until its cell grows past the cached window
+    extra = centers[0] + 0.05 * rng.randn(4 * win0, d).astype(np.float32)
+    idx.push_batch(extra)
+    assert int(idx.store.caps.max()) > win0      # growth actually happened
+    ids, dists = idx.search_padded(extra[:4], 5, w=2)
+    # the pushed points themselves must be findable (self-recall in the
+    # grown cell); with a stale covers_all plan the cell scans empty
+    expect = len(base) + np.arange(4)
+    assert (np.asarray(ids)[:, 0] == expect).all(), (ids[:, 0], expect)
