@@ -87,12 +87,65 @@ def _rank_kernel(cells_ref,          # (8, 128) i32 block
     counts_ref[...] = jnp.broadcast_to(cnt[...], (8, kcp))
 
 
-@functools.partial(jax.jit, static_argnames=("kc", "interpret"))
-def cell_ranks(cells_flat, *, kc: int, interpret: bool = False):
+def _rank_kernel_v2(cells_ref,        # (8, 128) i32 block (lane layout)
+                    cellsT_ref,       # (128, 8) i32 block (sublane layout)
+                    rankT_ref,        # (128, 8) i32 block (sublane layout)
+                    counts_ref,       # (8, kcp) f32 (row 0 meaningful)
+                    cnt,              # (1, kcp) f32 scratch, persists
+                    tmp,              # (128, 1) f32 scratch (fusion barrier)
+                    *, kcp: int):
+    """Transpose-free variant: the wrapper supplies the probe cells in BOTH
+    layouts (two cheap XLA transposes of a 0.5 MB array), so the per-group
+    MXU eye-transposes of `_rank_kernel` — its dominant cost, 2M MACs each —
+    disappear. Remaining MXU work per group is one (128, kcp) x (kcp, 1)
+    matvec; everything else is VPU compares/reductions."""
+    blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _():
+        cnt[...] = jnp.zeros((1, kcp), jnp.float32)
+
+    cells = cells_ref[...].astype(jnp.float32)            # (8, 128)
+    cellsT = cellsT_ref[...].astype(jnp.float32)          # (128, 8)
+    kciota = jax.lax.broadcasted_iota(jnp.int32, (1, kcp), 1) \
+        .astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
+    lmask = lane < srow                                   # strict lower tri
+
+    contract_last = (((1,), (1,)), ((), ()))              # (a,k)x(b,k)->(a,b)
+
+    for g in range(8):                                    # static unroll
+        cg = jax.lax.slice_in_dim(cells, g, g + 1, axis=0)       # (1, 128)
+        cgT = jax.lax.slice_in_dim(cellsT, g, g + 1, axis=1)     # (128, 1)
+        onehot = (cgT == kciota).astype(jnp.float32)             # (128, kcp)
+        # carried-in count per probe, sublane layout: (128,kcp) x (1,kcp)^T
+        carried = jax.lax.dot_general(onehot, cnt[...], contract_last,
+                                      preferred_element_type=jnp.float32)
+        # within-group rank: #(earlier probe with the same cell) — row-sums
+        # of the strictly-lower masked equality matrix, sublane layout
+        eq = (cgT == cg)                                         # (128, 128)
+        within = jnp.sum(jnp.where(eq & lmask, 1.0, 0.0),
+                         axis=1, keepdims=True)                  # (128, 1)
+        # store/load barrier: Mosaic fuses dot+add into a matmul whose
+        # accumulator must be constant — a computed addend fails to compile
+        tmp[...] = carried
+        rankT_ref[:, g] = (tmp[...] + within).astype(jnp.int32) \
+            .reshape(_LANE)
+        cnt[...] = cnt[...] + jnp.sum(onehot, axis=0, keepdims=True)
+
+    counts_ref[...] = jnp.broadcast_to(cnt[...], (8, kcp))
+
+
+@functools.partial(jax.jit, static_argnames=("kc", "interpret", "engine"))
+def cell_ranks(cells_flat, *, kc: int, interpret: bool = False,
+               engine: str = "v2"):
     """cells_flat (P,) i32 in [0, kc) -> (rank (P,) i32, counts (kc,) i32).
 
     rank[p] = stable rank of p among equal-cell probes; counts = histogram.
     Requires kc <= MAX_KC (callers fall back to lax.sort beyond that).
+    engine "v2" (default) feeds the kernel both layouts and skips the MXU
+    eye-transposes; "v1" is the original single-input kernel.
     """
     assert kc <= MAX_KC, kc
     P = cells_flat.shape[0]
@@ -102,19 +155,41 @@ def cell_ranks(cells_flat, *, kc: int, interpret: bool = False):
     # pollution); pad ranks are garbage and sliced off
     cells2d = jnp.pad(cells_flat.astype(jnp.int32), (0, P_pad - P),
                       constant_values=kcp).reshape(P_pad // _LANE, _LANE)
-    ranks, counts = pl.pallas_call(
-        functools.partial(_rank_kernel, kcp=kcp),
+    if engine == "v1":
+        ranks, counts = pl.pallas_call(
+            functools.partial(_rank_kernel, kcp=kcp),
+            grid=(P_pad // _BLK,),
+            in_specs=[pl.BlockSpec((8, _LANE), lambda b: (b, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((8, _LANE), lambda b: (b, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((8, kcp), lambda b: (0, 0),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((P_pad // _LANE, _LANE),
+                                            jnp.int32),
+                       jax.ShapeDtypeStruct((8, kcp), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((1, kcp), jnp.float32),
+                            pltpu.VMEM((1, _LANE), jnp.float32)],
+            interpret=interpret,
+        )(cells2d)
+        return ranks.reshape(P_pad)[:P], counts[0, :kc].astype(jnp.int32)
+    cells2dT = cells2d.T                                  # (128, P_pad/128)
+    ranksT, counts = pl.pallas_call(
+        functools.partial(_rank_kernel_v2, kcp=kcp),
         grid=(P_pad // _BLK,),
         in_specs=[pl.BlockSpec((8, _LANE), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((_LANE, 8), lambda b: (0, b),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((8, _LANE), lambda b: (b, 0),
+        out_specs=[pl.BlockSpec((_LANE, 8), lambda b: (0, b),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((8, kcp), lambda b: (0, 0),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((P_pad // _LANE, _LANE), jnp.int32),
+        out_shape=[jax.ShapeDtypeStruct((_LANE, P_pad // _LANE), jnp.int32),
                    jax.ShapeDtypeStruct((8, kcp), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((1, kcp), jnp.float32),
-                        pltpu.VMEM((1, _LANE), jnp.float32)],
+                        pltpu.VMEM((_LANE, 1), jnp.float32)],
         interpret=interpret,
-    )(cells2d)
-    return ranks.reshape(P_pad)[:P], counts[0, :kc].astype(jnp.int32)
+    )(cells2d, cells2dT)
+    return (ranksT.T.reshape(P_pad)[:P],
+            counts[0, :kc].astype(jnp.int32))

@@ -16,6 +16,7 @@ def _oracle(cells, kc):
     return rank, np.bincount(cells, minlength=kc)
 
 
+@pytest.mark.parametrize("engine", ["v1", "v2"])
 @pytest.mark.parametrize("P,kc,seed", [
     (4096, 1024, 0),      # uniform, multi-block
     (1000, 17, 1),        # ragged P (pads with sentinel)
@@ -23,9 +24,10 @@ def _oracle(cells, kc):
     (2048, 4096, 3),      # kc == MAX_KC, mostly-unique cells
     (128, 5, 4),          # single group
 ])
-def test_ranks_match_oracle(P, kc, seed):
+def test_ranks_match_oracle(P, kc, seed, engine):
     cells = np.random.RandomState(seed).randint(0, kc, P).astype(np.int32)
-    r, c = cell_ranks(jnp.asarray(cells), kc=kc, interpret=True)
+    r, c = cell_ranks(jnp.asarray(cells), kc=kc, interpret=True,
+                      engine=engine)
     er, ec = _oracle(cells, kc)
     np.testing.assert_array_equal(np.asarray(r), er)
     np.testing.assert_array_equal(np.asarray(c), ec)
