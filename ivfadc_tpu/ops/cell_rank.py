@@ -29,11 +29,17 @@ key array, and the final counters double as the per-cell histogram.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# default rank engine, read ONCE at import (reaches jitted code at trace
+# time; process-start-only, like the other IVFADC_* kernel knobs).
+# "v1" until v2 is validated on real hardware.
+_DEFAULT_ENGINE = os.environ.get("IVFADC_RANK_ENGINE", "v1")
 
 _LANE = 128
 _BLK = 1024          # probes per grid step (8 sublane rows of 128 lanes)
@@ -139,14 +145,17 @@ def _rank_kernel_v2(cells_ref,        # (8, 128) i32 block (lane layout)
 
 @functools.partial(jax.jit, static_argnames=("kc", "interpret", "engine"))
 def cell_ranks(cells_flat, *, kc: int, interpret: bool = False,
-               engine: str = "v2"):
+               engine: str = None):
     """cells_flat (P,) i32 in [0, kc) -> (rank (P,) i32, counts (kc,) i32).
 
     rank[p] = stable rank of p among equal-cell probes; counts = histogram.
     Requires kc <= MAX_KC (callers fall back to lax.sort beyond that).
-    engine "v2" (default) feeds the kernel both layouts and skips the MXU
-    eye-transposes; "v1" is the original single-input kernel.
+    engine "v2" feeds the kernel both layouts and skips the MXU
+    eye-transposes; "v1" is the original single-input kernel. Default:
+    IVFADC_RANK_ENGINE at process start.
     """
+    if engine is None:
+        engine = _DEFAULT_ENGINE
     assert kc <= MAX_KC, kc
     P = cells_flat.shape[0]
     P_pad = ((P + _BLK - 1) // _BLK) * _BLK
