@@ -267,3 +267,22 @@ def test_gathered_plan_survives_in_place_cell_growth():
     # grown cell); with a stale covers_all plan the cell scans empty
     expect = len(base) + np.arange(4)
     assert (np.asarray(ids)[:, 0] == expect).all(), (ids[:, 0], expect)
+
+
+def test_gathered_engine_inner_product_matches_lut():
+    # norm_coef=0 path of the gathered engine (score = v.x + base)
+    base, idx = _build(n=300, kc=64, m=4, scan_mode="dense", cell_align=8,
+                       quantization_metric="inner_product")
+    win, covers_all = idx._gather_plan()
+    assert covers_all and win > 0
+    _, idx_lut = _build(n=300, kc=64, m=4, scan_mode="lut", cell_align=8,
+                        quantization_metric="inner_product")
+    q = np.random.RandomState(2).randn(4, 32).astype(np.float32)
+    assert q.shape[0] * 16 < 4 * 64          # ungrouped engine selection
+    ids_d, dd = idx.search_padded(q, 10, w=16)
+    ids_l, dl = idx_lut.search_padded(q, 10, w=16)
+    same = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                    for a, b in zip(ids_d, ids_l)])
+    assert same > 0.9, (ids_d, ids_l)
+    agree = ids_d == ids_l
+    np.testing.assert_allclose(dd[agree], dl[agree], rtol=2e-2, atol=5e-2)
