@@ -43,6 +43,7 @@ def run(mode: str, nq: int, reps: int) -> str:
     env = os.environ.copy()
     env.pop("IVFADC_NO_EXTRACT", None)
     env.pop("IVFADC_EXTRACT_SLICE", None)
+    env["IVFADC_EXTRACT"] = "1"          # extraction is opt-in
     if mode == "no-extract":
         env["IVFADC_NO_EXTRACT"] = "1"
     elif mode == "extract+slice":

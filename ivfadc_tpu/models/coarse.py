@@ -31,8 +31,10 @@ import numpy as np
 
 from ivfadc_tpu.ops.metrics import Metric, get_metric
 
-# read once at import — see models/index.py (trace-time flag)
-_NO_EXTRACT = bool(os.environ.get("IVFADC_NO_EXTRACT"))
+# read once at import — see models/index.py (trace-time flag; opt-in
+# until Mosaic-compile-validated on real hardware)
+_NO_EXTRACT = (bool(os.environ.get("IVFADC_NO_EXTRACT"))
+               or os.environ.get("IVFADC_EXTRACT", "0") != "1")
 
 
 @jax.tree_util.register_pytree_node_class

@@ -37,11 +37,14 @@ from ivfadc_tpu.models.coarse import (NaiveCoarseQuantizer,
 from ivfadc_tpu.models.inverted import PostingStore
 from ivfadc_tpu.utils.profiling import BuildTimer
 
-# A/B kill switch for the in-kernel extraction epilogue. Read ONCE at
-# import: the flag reaches jitted code at trace time and is not part of
-# any jit cache key, so in-process toggling could never work reliably —
-# process-start-only by design (benchmarks A/B via subprocesses).
-_NO_EXTRACT = bool(os.environ.get("IVFADC_NO_EXTRACT"))
+# In-kernel extraction epilogue switch. Read ONCE at import: the flag
+# reaches jitted code at trace time and is not part of any jit cache
+# key, so in-process toggling could never work reliably — process-start
+# only by design (benchmarks A/B via subprocesses). OPT-IN
+# (IVFADC_EXTRACT=1) until the kernel's Mosaic compile is validated on
+# real hardware; IVFADC_NO_EXTRACT=1 forces it off.
+_NO_EXTRACT = (bool(os.environ.get("IVFADC_NO_EXTRACT"))
+               or os.environ.get("IVFADC_EXTRACT", "0") != "1")
 
 # auto-cap for PQ codebook training when quantization_sample is unset (0)
 _PQ_TRAIN_AUTOCAP = 1 << 20

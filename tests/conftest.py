@@ -4,6 +4,9 @@ logic is exercised without TPU hardware (SURVEY §4 implication)."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# exercise the in-kernel extraction epilogue in interpret mode (it is
+# opt-in in production until Mosaic-compile-validated on real hardware)
+os.environ.setdefault("IVFADC_EXTRACT", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
