@@ -185,6 +185,11 @@ def main():
         "p50_batch_qps": round(batch / (p50_batch_ms / 1e3), 1),
         "n": n, "nq": nq, "batch": batch, "kc": kc,
         "backend": backend,
+        # engine switches active for this run (extraction is opt-in until
+        # its Mosaic compile is validated on real hardware)
+        "extract": os.environ.get("IVFADC_EXTRACT", "0") == "1"
+                   and not os.environ.get("IVFADC_NO_EXTRACT"),
+        "rank_engine": os.environ.get("IVFADC_RANK_ENGINE", "v1"),
         "build_seconds": round(build_s, 1),
         "total_seconds": round(time.time() - t_all, 1),
     }
