@@ -442,6 +442,7 @@ class IVFADCIndex:
             mode = "lut"
         if mode == "dense":
             chunk = self._effective_chunk()
+            gather_win, gather_all = self._gather_plan()
             # guard padding sized to the max configured chunk so the cached
             # decoded array stays valid if the effective chunk later grows
             dev = self.store.device_view_dense(self.quantizer,
@@ -459,8 +460,7 @@ class IVFADCIndex:
                 apply_rot=self.quantizer.method == "opq",
                 residual_based=self.quant_metric.residual_based,
                 interpret=jax.default_backend() == "cpu",
-                gather_win=self._gather_plan()[0],
-                gather_all=self._gather_plan()[1])
+                gather_win=gather_win, gather_all=gather_all)
         else:
             dev = self.store.device_view()
             out_ids, out_dists = _search_impl(

@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("win", "norm_coef"))
@@ -89,7 +90,6 @@ def plan_gather(caps, limit: int, max_cap=None):
     be skipped entirely. The hybrid window is routing-only — oversized
     cells fall back to the scan kernel at runtime.
     """
-    import numpy as np
     caps = np.asarray(caps)
     caps = caps[caps > 0]
     if not limit or caps.size == 0:
