@@ -57,6 +57,20 @@ if phase == "build":
     sv = ShardedIVFADCIndex.build(data, mesh=mesh, config=cfg)
     ids, dists = sv.search_padded(data[:32], 5, w=4)
     save_sharded_index(sv_dir, sv)
+elif phase == "wrap_refresh":
+    # every process builds the identical single-host index (deterministic
+    # seed), wraps it as a sharded view, mutates the base, and refreshes —
+    # the incremental shard patching must work under a real process group
+    from ivfadc_tpu import IVFADCIndex
+    idx = IVFADCIndex.build(data, config=cfg)
+    sv = ShardedIVFADCIndex(idx, mesh)
+    idx.push_batch(data[:16] + 0.01)
+    idx.delete([0, 1, 2])
+    sv.refresh()
+    ids_s, d_s = sv.search_padded(data[:32], 5, w=4)
+    ids_1, d_1 = idx.search_padded(data[:32], 5, w=4)
+    assert np.array_equal(np.asarray(ids_s), np.asarray(ids_1)), "refresh"
+    ids, dists = ids_s, d_s
 else:
     sv = load_sharded_index(sv_dir, mesh=mesh)
     ids, dists = sv.search_padded(data[:32], 5, w=4)
@@ -151,3 +165,17 @@ def test_load_from_per_host_shard_files(tmp_path):
     lb = np.load(os.path.join(out, "res_load_1.npz"))
     np.testing.assert_array_equal(la["ids"], a["ids"])
     np.testing.assert_array_equal(lb["ids"], a["ids"])
+
+
+@pytest.mark.slow
+def test_wrap_and_incremental_refresh_under_process_group(tmp_path):
+    """ShardedIVFADCIndex(__init__) + dynamic ops + refresh() across a real
+    2-process group: shard arrays patch incrementally and both processes
+    see identical post-refresh results (asserted in-worker vs single-chip
+    and cross-process here)."""
+    out = str(tmp_path)
+    _run_pair("wrap_refresh", out, os.path.join(out, "sv"), n_data=2)
+    a = np.load(os.path.join(out, "res_wrap_refresh_0.npz"))
+    b = np.load(os.path.join(out, "res_wrap_refresh_1.npz"))
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+    np.testing.assert_allclose(a["dists"], b["dists"], rtol=1e-6)
