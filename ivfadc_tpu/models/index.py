@@ -84,7 +84,7 @@ def _search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids, queries,
 
 def _dense_probe(cq, rotation, queries, *, w: int, metric: Metric,
                  include_base: bool, apply_rot: bool, residual_based: bool,
-                 interpret: bool):
+                 interpret: bool, coarse_engine: str | None = None):
     """Coarse probe + scan-vector prep shared by the single-chip and sharded
     dense paths. Returns (cells (B,w), v (B,w,dq), base (B,w), norm_coef)."""
     queries = queries.astype(jnp.float32)
@@ -99,7 +99,8 @@ def _dense_probe(cq, rotation, queries, *, w: int, metric: Metric,
         from ivfadc_tpu.ops.coarse_scan import coarse_probe_vbase
         fused = coarse_probe_vbase(queries, cq.centroids, w, rotation,
                                    apply_rot, include_base,
-                                   interpret=interpret)
+                                   interpret=interpret,
+                                   engine=coarse_engine)
         if fused is not None:
             cells, cdists, v, base = fused
             return cells, v, base, 1.0
@@ -131,21 +132,24 @@ def _dense_probe(cq, rotation, queries, *, w: int, metric: Metric,
     jax.jit,
     static_argnames=("k", "w", "chunk", "pb", "merge", "nf", "pos8",
                      "metric", "include_base", "apply_rot", "residual_based",
-                     "interpret", "gather_win", "gather_all"))
+                     "interpret", "gather_win", "gather_all",
+                     "coarse_engine"))
 def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, dscale,
                        ids2d, queries,
                        *, k: int, w: int, chunk: int, pb: int, merge: str,
                        nf: int, pos8: bool, metric: Metric,
                        include_base: bool, apply_rot: bool,
                        residual_based: bool, interpret: bool,
-                       gather_win: int = 0, gather_all: bool = False):
+                       gather_win: int = 0, gather_all: bool = False,
+                       coarse_engine: str | None = None):
     """Pallas dense-scan search: coarse probe -> cell-grouped DMA'd matmul
     scan with on-chip top-k -> global merge. Mathematically identical scores
     to the LUT path (up to bf16 rounding): see ops/pallas_scan.py."""
     cells, v, base, norm_coef = _dense_probe(
         cq, rotation, queries, w=w, metric=metric,
         include_base=include_base, apply_rot=apply_rot,
-        residual_based=residual_based, interpret=interpret)
+        residual_based=residual_based, interpret=interpret,
+        coarse_engine=coarse_engine)
     out_ids, out_dists = _dense_finish(
         cells, v, base, offsets, sizes, decoded, ids, dscale, ids2d,
         k=k, w=w, chunk=chunk, pb=pb, merge=merge, nf=nf,
@@ -460,7 +464,8 @@ class IVFADCIndex:
                 apply_rot=self.quantizer.method == "opq",
                 residual_based=self.quant_metric.residual_based,
                 interpret=jax.default_backend() == "cpu",
-                gather_win=gather_win, gather_all=gather_all)
+                gather_win=gather_win, gather_all=gather_all,
+                coarse_engine=os.environ.get("IVFADC_COARSE_ENGINE", "v1"))
         else:
             dev = self.store.device_view()
             out_ids, out_dists = _search_impl(

@@ -19,6 +19,7 @@ Applies to (sq)euclidean pairwise with kc and d fitting VMEM
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +27,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
+
+# v1: f32 one-hot matmuls recover winning centroid rows, an in-kernel
+#     rotation matmul per extract pass, and a per-pass |r|^2 reduction.
+# v2: the rotated centroid table is pre-split into bf16 hi + lo halves
+#     (hi = bf16(rotC), lo = bf16(rotC - hi)) so the per-pass row recovery
+#     runs as two bf16 MXU passes (~3x less MXU work than one f32 matmul,
+#     ~2^-17 relative row error — below v's bf16 output rounding); the
+#     rotation moves out of the loop (rotq once per block) and |r|^2 is not
+#     computed at all: for orthogonal rotations (PQ identity / OPQ
+#     Procrustes) |rot(q-c)|^2 == |q-c|^2, which the caller already has as
+#     cdists. Default v1 until the TPU A/B (benchmarks/ab_coarse.py) runs.
+_DEFAULT_ENGINE = os.environ.get("IVFADC_COARSE_ENGINE", "v1")
 
 
 def _coarse_kernel(q_ref, cent_ref, cn_ref, vals_ref, idx_ref,
@@ -150,37 +163,131 @@ def _coarse_vbase_pallas(queries, cents, cnorms, rot, *, w: int, bp: int,
     return vals[:, :w], idxs[:, :w], v, rn[:, :w]
 
 
+def _coarse_vbase_kernel_v2(q_ref, cent_ref, cn_ref, rot_ref, hi_ref, lo_ref,
+                            vals_ref, idx_ref, v_ref,
+                            *, w: int, wpad: int, apply_rot: bool):
+    """v2 of the emitting coarse probe (see module header): bf16 hi/lo
+    row recovery from the PRE-ROTATED table, rotation hoisted out of the
+    extract loop, no |r|^2 pass (the caller derives it from the scores)."""
+    q = q_ref[...]                                    # (bp, d) f32
+    cents = cent_ref[...]                             # (kc, d) f32 (scores)
+    bp, d = q.shape
+    kc = cents.shape[0]
+    scores = cn_ref[...] - 2.0 * jax.lax.dot_general(
+        q, cents, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (bp, kc)
+    if apply_rot:
+        rotq = jax.lax.dot_general(
+            q, rot_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (bp, d)
+    else:
+        rotq = q
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bp, kc), 1)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (bp, wpad), 1)
+    vals = jnp.full((bp, wpad), jnp.inf, jnp.float32)
+    idxs = jnp.zeros((bp, wpad), jnp.int32)
+    for j in range(w):                                # static unroll
+        m = jnp.min(scores, axis=1, keepdims=True)
+        a = jnp.argmin(scores, axis=1).astype(jnp.int32)[:, None]
+        onehot = (lane == a).astype(jnp.bfloat16)     # exact in bf16
+        rc = jax.lax.dot_general(
+            onehot, hi_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        rc = rc + jax.lax.dot_general(
+            onehot, lo_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # ~f32 rotC row
+        v_ref[:, j, :] = (-2.0 * (rotq - rc)).astype(jnp.bfloat16)
+        hit = kiota == j
+        vals = jnp.where(hit, m, vals)
+        idxs = jnp.where(hit, a, idxs)
+        scores = jnp.where(lane == a, jnp.inf, scores)
+    vals_ref[...] = vals
+    idx_ref[...] = idxs
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("w", "bp", "apply_rot", "interpret"))
+def _coarse_vbase_pallas_v2(queries, cents, cnorms, rot, hi, lo,
+                            *, w: int, bp: int, apply_rot: bool,
+                            interpret: bool):
+    B, d = queries.shape
+    kc = cents.shape[0]
+    wpad = ((w + _LANE - 1) // _LANE) * _LANE
+    vals, idxs, v = pl.pallas_call(
+        functools.partial(_coarse_vbase_kernel_v2, w=w, wpad=wpad,
+                          apply_rot=apply_rot),
+        grid=(B // bp,),
+        in_specs=[
+            pl.BlockSpec((bp, d), lambda i: (i, 0)),
+            pl.BlockSpec((kc, d), lambda i: (0, 0)),      # resident
+            pl.BlockSpec((1, kc), lambda i: (0, 0)),
+            pl.BlockSpec((d, d), lambda i: (0, 0)),       # rotation
+            pl.BlockSpec((kc, d), lambda i: (0, 0)),      # bf16 hi
+            pl.BlockSpec((kc, d), lambda i: (0, 0)),      # bf16 lo
+        ],
+        out_specs=[pl.BlockSpec((bp, wpad), lambda i: (i, 0)),
+                   pl.BlockSpec((bp, wpad), lambda i: (i, 0)),
+                   pl.BlockSpec((bp, w, d), lambda i: (i, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((B, wpad), jnp.float32),
+                   jax.ShapeDtypeStruct((B, wpad), jnp.int32),
+                   jax.ShapeDtypeStruct((B, w, d), jnp.bfloat16)],
+        interpret=interpret,
+    )(queries, cents, cnorms, rot, hi, lo)
+    return vals[:, :w], idxs[:, :w], v
+
+
 def coarse_probe_vbase(queries, centroids, w: int, rotation,
                        apply_rot: bool, include_base: bool,
-                       *, interpret: bool | None = None):
+                       *, interpret: bool | None = None,
+                       engine: str | None = None):
     """Fused coarse probe + scan-input construction (squared-euclidean).
 
     Returns (cells (B,w) i32, cdists (B,w) f32, v (B,w,d) bf16,
     base (B,w) f32) or None when the shape doesn't suit the kernel.
     v = -2 * rot(q - c); base = |rot(q - c)|^2 (+ cdist when include_base).
+
+    `rotation` must be orthogonal (true for both the PQ identity and the
+    OPQ Procrustes solution): the v2 engine derives |rot(q-c)|^2 from the
+    coarse scores, which only matches under an isometry.
     """
+    if engine is None:
+        engine = _DEFAULT_ENGINE
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, d = queries.shape
     kc = centroids.shape[0]
     if apply_rot and rotation.shape[0] != d:
         return None                 # ragged-subspace padding: fallback
+    # resident VMEM budget: the score table + (v2) the bf16 hi/lo pair,
+    # which together weigh one more f32 table
+    resident = kc * d * (2 if engine == "v2" else 1)
     bp = 8
     while bp < 64 and B % (bp * 2) == 0 and \
-            (bp * 2) * kc + kc * d <= _MAX_RESIDENT_ELEMS:
+            (bp * 2) * kc + resident <= _MAX_RESIDENT_ELEMS:
         bp *= 2
     if (d % _LANE != 0 or B % bp != 0 or kc % _LANE != 0 or w > 128
-            or w > kc or bp * kc + kc * d > _MAX_RESIDENT_ELEMS):
+            or w > kc or bp * kc + resident > _MAX_RESIDENT_ELEMS):
         return None
     q32 = queries.astype(jnp.float32)
     c32 = centroids.astype(jnp.float32)
     cn = jnp.sum(c32 * c32, axis=1)[None, :]
     rot = rotation.astype(jnp.float32) if apply_rot \
         else jnp.eye(d, dtype=jnp.float32)
+    qn = jnp.sum(q32 * q32, axis=1, keepdims=True)
+    if engine == "v2":
+        rot_c = c32 @ rot if apply_rot else c32       # pre-rotated table
+        hi = rot_c.astype(jnp.bfloat16)
+        lo = (rot_c - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        vals, idxs, v = _coarse_vbase_pallas_v2(
+            q32, c32, cn, rot, hi, lo, w=w, bp=bp, apply_rot=apply_rot,
+            interpret=interpret)
+        cdists = jnp.maximum(vals + qn, 0.0)
+        # |rot(q-c)|^2 == |q-c|^2 == cdists for orthogonal rot
+        base = cdists + cdists if include_base else cdists
+        return idxs, cdists, v, base
     vals, idxs, v, rn = _coarse_vbase_pallas(
         q32, c32, cn, rot, w=w, bp=bp, apply_rot=apply_rot,
         interpret=interpret)
-    qn = jnp.sum(q32 * q32, axis=1, keepdims=True)
     cdists = jnp.maximum(vals + qn, 0.0)
     base = rn + cdists if include_base else rn
     return idxs, cdists, v, base

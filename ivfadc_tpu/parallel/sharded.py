@@ -18,6 +18,7 @@ the gather to ICI all-gathers on a real slice.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -89,7 +90,8 @@ def partition_store(store, n_shards: int, align: int = 0):
 def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
                         ids2d_l, q_l, *, k, w, metric, include_base,
                         apply_rot, residual_based, chunk, pb, merge, nf,
-                        pos8, interpret, gather_win=0, gather_all=False):
+                        pos8, interpret, gather_win=0, gather_all=False,
+                        coarse_engine=None):
     """Shard-local dense search — the exact single-chip pipeline (fused
     coarse probe + grouped scan + in-kernel id emission) run on the local
     CSR arrays. Returns raw per-shard (B, k) candidates."""
@@ -97,7 +99,7 @@ def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
     cells, v, base, norm_coef = _dense_probe(
         cq_l, rot_l, q_l, w=w, metric=metric, include_base=include_base,
         apply_rot=apply_rot, residual_based=residual_based,
-        interpret=interpret)
+        interpret=interpret, coarse_engine=coarse_engine)
     return _dense_finish(
         cells, v, base, off_l, siz_l, dec_l, ids_l, scale_l, ids2d_l,
         k=k, w=w, chunk=chunk, pb=pb, merge=merge, nf=nf,
@@ -110,7 +112,7 @@ def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
     static_argnames=("mesh", "k", "w", "window", "metric", "include_base",
                      "apply_rot", "residual_based", "dense", "chunk", "pb",
                      "merge", "nf", "pos8", "interpret", "overlap",
-                     "gather_win", "gather_all"))
+                     "gather_win", "gather_all", "coarse_engine"))
 def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                          dscale, ids2d, queries, *, mesh, k: int, w: int,
                          window: int,
@@ -120,7 +122,8 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                          merge: str = "exact", nf: int = 128,
                          pos8: bool = False, interpret: bool = False,
                          gather_win: int = 0, gather_all: bool = False,
-                         overlap: bool = True):
+                         overlap: bool = True,
+                         coarse_engine: str | None = None):
     """Queries (B, d) replicated over shard / sharded over data; per-shard CSR
     arrays stacked on a leading shard axis. `codes` is the flat PQ-code array
     in LUT mode or the decoded residual cache in dense mode. Returns
@@ -149,7 +152,8 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                     include_base=include_base, apply_rot=apply_rot,
                     residual_based=residual_based, chunk=chunk, pb=pb,
                     merge=merge, nf=nf, pos8=pos8, interpret=interpret,
-                    gather_win=gather_win, gather_all=gather_all)
+                    gather_win=gather_win, gather_all=gather_all,
+                    coarse_engine=coarse_engine)
             cells, cdists = cq_l.search(q_b, w)
             cent = cq_l.centroids[cells]
             if residual_based:
@@ -558,7 +562,8 @@ class ShardedIVFADCIndex:
             gather_win=self.gather_plan[0] if dense else 0,
             gather_all=self.gather_plan[1] if dense else False,
             interpret=jax.default_backend() == "cpu",
-            overlap=overlap)
+            overlap=overlap,
+            coarse_engine=os.environ.get("IVFADC_COARSE_ENGINE", "v1"))
         return ids, dists, B
 
     def search_padded(self, queries: np.ndarray, k: int, w: int = 1, *,
