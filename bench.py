@@ -190,6 +190,7 @@ def main():
         "extract": os.environ.get("IVFADC_EXTRACT", "0") == "1"
                    and not os.environ.get("IVFADC_NO_EXTRACT"),
         "rank_engine": os.environ.get("IVFADC_RANK_ENGINE", "v1"),
+        "coarse_engine": os.environ.get("IVFADC_COARSE_ENGINE", "v1"),
         "build_seconds": round(build_s, 1),
         "total_seconds": round(time.time() - t_all, 1),
     }

@@ -50,8 +50,11 @@ if {e2e}:
     n = 1_000_000 if not interp else 100_000
     base = synthetic_clustered_device(n, d, seed=0)
     os.environ["IVFADC_COARSE_ENGINE"] = engine
+    # force the dense engine: scan_mode="auto" resolves to LUT off-TPU, and
+    # only the dense path uses the fused coarse kernel being A/B'd
     index = IVFADCIndex.build(base, kc=kc, k=256, m=8, seed=0,
-                              kmeanspp_sample=min(n, 65536))
+                              kmeanspp_sample=min(n, 65536),
+                              scan_mode="dense")
     qd = base[jax.random.randint(jax.random.PRNGKey(1), (B,), 0, n)]
     t = true_time(lambda i: index._device_search(qd + 1e-6 * i, 10, w),
                   reps=10, warm=2, baseline=rpc)

@@ -1,0 +1,36 @@
+#!/bin/bash
+# Round-2 TPU validation queue: waits for the tunneled TPU to come back,
+# then runs every pending hardware A/B in sequence (each driver isolates
+# engines in subprocesses — a Mosaic compile error poisons a process).
+#
+# Decision rules after it completes:
+#   * ab_extract  wins -> default IVFADC_EXTRACT on (models/index.py
+#                         _env_extract) + drop the conftest opt-in
+#   * ab_rank v2  wins -> default IVFADC_RANK_ENGINE=v2
+#   * ab_coarse v2 wins -> default IVFADC_COARSE_ENGINE=v2
+#   * deep1b_shape / gather_microbench -> tune scan_gather_win default
+# then re-run bench.py and refresh RESULTS.md.
+cd "$(dirname "$0")/.." || exit 1
+for i in $(seq 1 600); do
+  if timeout 300 python -c "import jax; assert jax.devices()[0].platform == 'tpu'" 2>/dev/null; then
+    echo "TPU back after $i probes"
+    break
+  fi
+  echo "probe $i: TPU unavailable"; sleep 60
+done
+echo "=== gather microbench ==="
+timeout 1800 python benchmarks/gather_microbench.py 2>&1 | tail -10
+echo "=== extract A/B ==="
+timeout 5400 python benchmarks/ab_extract.py 2>&1 | grep -E "RESULT|\["
+echo "=== rank A/B ==="
+timeout 3600 python benchmarks/ab_rank.py 2>&1 | grep -E "RESULT|FAILED"
+echo "=== coarse A/B ==="
+timeout 5400 python benchmarks/ab_coarse.py --e2e 2>&1 | grep -E "RESULT|FAILED"
+echo "=== deep1b gathered A/B ==="
+timeout 5400 python benchmarks/deep1b_shape.py 2>&1 | grep -E "RESULT|plan|build|\["
+echo "=== combined-engine bench (extract + rank v2 + coarse v2) ==="
+IVFADC_EXTRACT=1 IVFADC_RANK_ENGINE=v2 IVFADC_COARSE_ENGINE=v2 \
+  timeout 3600 python bench.py 2>&1 | tail -2
+echo "=== default-engine bench (contrast) ==="
+timeout 3600 python bench.py 2>&1 | tail -2
+echo "=== queue done ==="

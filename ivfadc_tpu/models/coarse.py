@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-import os
 from typing import Tuple
 
 import jax
@@ -31,10 +30,11 @@ import numpy as np
 
 from ivfadc_tpu.ops.metrics import Metric, get_metric
 
-# read once at import — see models/index.py (trace-time flag; opt-in
-# until Mosaic-compile-validated on real hardware)
-_NO_EXTRACT = (bool(os.environ.get("IVFADC_NO_EXTRACT"))
-               or os.environ.get("IVFADC_EXTRACT", "0") != "1")
+# The extract/rank-engine knobs arrive as `search(..., extract=,
+# rank_engine=)` kwargs threaded from the jitted entry points' static args
+# (models/index.py reads the IVFADC_* env at every dispatch), so in-process
+# toggles retrace correctly. Defaults are the conservative production
+# engines.
 
 
 @jax.tree_util.register_pytree_node_class
@@ -56,8 +56,12 @@ class NaiveCoarseQuantizer:
     def dim(self) -> int:
         return self.centroids.shape[1]
 
-    def search(self, queries: jax.Array, w: int) -> Tuple[jax.Array, jax.Array]:
-        """(B, d) queries -> (cells (B, w) int32, dists (B, w) f32). Jittable."""
+    def search(self, queries: jax.Array, w: int, *, extract: bool = False,
+               rank_engine: str | None = None
+               ) -> Tuple[jax.Array, jax.Array]:
+        """(B, d) queries -> (cells (B, w) int32, dists (B, w) f32). Jittable.
+        extract/rank_engine are accepted for interface parity with the
+        two-level quantizer; the brute-force scan has no use for them."""
         from ivfadc_tpu.ops.topk import topk_lastdim
         if self.metric.name in ("sqeuclidean", "euclidean"):
             # fused distances+top-w kernel: the (B, kc) matrix stays in VMEM
@@ -160,7 +164,9 @@ class TwoLevelCoarseQuantizer:
     def dim(self) -> int:
         return self.centroids.shape[1]
 
-    def search(self, queries: jax.Array, w: int) -> Tuple[jax.Array, jax.Array]:
+    def search(self, queries: jax.Array, w: int, *, extract: bool = False,
+               rank_engine: str | None = None
+               ) -> Tuple[jax.Array, jax.Array]:
         from ivfadc_tpu.ops.topk import topk_lastdim
         gp = min(self.n_probe_groups, self.group_centers.shape[0])
         gdist = self.metric.pairwise(queries, self.group_centers)   # (B, g)
@@ -186,9 +192,11 @@ class TwoLevelCoarseQuantizer:
                 dists = jnp.pad(dists, ((0, 0), (0, w - w_eff)),
                                 constant_values=jnp.inf)
             return cells.astype(jnp.int32), dists
-        return self._scan_stage2(queries, gids, gp, w)
+        return self._scan_stage2(queries, gids, gp, w, extract=extract,
+                                 rank_engine=rank_engine)
 
-    def _scan_stage2(self, queries, gids, gp: int, w: int):
+    def _scan_stage2(self, queries, gids, gp: int, w: int, *,
+                     extract: bool = False, rank_engine: str | None = None):
         """Stage 2 via the grouped Pallas scan (sqeuclidean decomposition:
         |q-c|^2 = |q|^2 - 2 q.c + |c|^2, bf16 matmuls, f32 accumulate)."""
         from ivfadc_tpu.ops.pallas_scan import grouped_dense_scan
@@ -202,15 +210,14 @@ class TwoLevelCoarseQuantizer:
         # in-kernel per-probe top-w extraction (see ops/pallas_scan.py):
         # halves the probe-order row gather and shrinks this merge from
         # gp*nf to gp*w candidates — exact vs the buffered path
-        extract_k = k_out if 2 * k_out <= 128 and not _NO_EXTRACT \
-            else 0
+        extract_k = k_out if 2 * k_out <= 128 and extract else 0
         out_d, out_p = grouped_dense_scan(
             gids, self.csr_offsets, self.csr_sizes, v, base, self.cent_scan,
             self.cent_scale, self.perm2d,
             kc=self.group_centers.shape[0], k_out=k_out, chunk=chunk,
             norm_coef=1.0, pb=64, merge="fold", nf=128,
             interpret=jax.default_backend() != "tpu",
-            extract_k=extract_k)
+            extract_k=extract_k, rank_engine=rank_engine)
         nf = out_d.shape[-1]
         flat_d = out_d.reshape(B, gp * nf)
         flat_p = out_p.reshape(B, gp * nf)   # emitted CELL ids (perm stream)

@@ -37,14 +37,23 @@ from ivfadc_tpu.models.coarse import (NaiveCoarseQuantizer,
 from ivfadc_tpu.models.inverted import PostingStore
 from ivfadc_tpu.utils.profiling import BuildTimer
 
-# In-kernel extraction epilogue switch. Read ONCE at import: the flag
-# reaches jitted code at trace time and is not part of any jit cache
-# key, so in-process toggling could never work reliably — process-start
-# only by design (benchmarks A/B via subprocesses). OPT-IN
-# (IVFADC_EXTRACT=1) until the kernel's Mosaic compile is validated on
-# real hardware; IVFADC_NO_EXTRACT=1 forces it off.
-_NO_EXTRACT = (bool(os.environ.get("IVFADC_NO_EXTRACT"))
-               or os.environ.get("IVFADC_EXTRACT", "0") != "1")
+# Engine/epilogue knobs, read at every dispatch and carried as jit static
+# args, so in-process toggling (tests, A/B drivers) retraces correctly.
+# Extraction is OPT-IN (IVFADC_EXTRACT=1) until the kernel's Mosaic
+# compile is validated on real hardware; IVFADC_NO_EXTRACT=1 forces it
+# off. The v2 engines stay off by default until their TPU A/Bs run
+# (benchmarks/ab_rank.py, benchmarks/ab_coarse.py).
+def _env_extract() -> bool:
+    return (os.environ.get("IVFADC_EXTRACT", "0") == "1"
+            and not os.environ.get("IVFADC_NO_EXTRACT"))
+
+
+def _env_rank_engine() -> str:
+    return os.environ.get("IVFADC_RANK_ENGINE", "v1")
+
+
+def _env_coarse_engine() -> str:
+    return os.environ.get("IVFADC_COARSE_ENGINE", "v1")
 
 # auto-cap for PQ codebook training when quantization_sample is unset (0)
 _PQ_TRAIN_AUTOCAP = 1 << 20
@@ -53,13 +62,15 @@ _PQ_TRAIN_AUTOCAP = 1 << 20
 @functools.partial(
     jax.jit,
     static_argnames=("k", "w", "window", "metric", "include_base",
-                     "apply_rot", "residual_based"))
+                     "apply_rot", "residual_based", "extract", "rank_engine"))
 def _search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids, queries,
                  *, k: int, w: int, window: int, metric: Metric,
-                 include_base: bool, apply_rot: bool, residual_based: bool):
+                 include_base: bool, apply_rot: bool, residual_based: bool,
+                 extract: bool = False, rank_engine: str | None = None):
     """Fused batched search: coarse probe -> ADC tables -> posting scan -> top-k."""
     queries = queries.astype(jnp.float32)
-    cells, cdists = cq.search(queries, w)                     # (B, w)
+    cells, cdists = cq.search(queries, w, extract=extract,
+                              rank_engine=rank_engine)        # (B, w)
     cent = cq.centroids[cells]                                # (B, w, d)
     dq = rotation.shape[0]                                    # quantizer dim
     if residual_based:
@@ -84,7 +95,8 @@ def _search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids, queries,
 
 def _dense_probe(cq, rotation, queries, *, w: int, metric: Metric,
                  include_base: bool, apply_rot: bool, residual_based: bool,
-                 interpret: bool, coarse_engine: str | None = None):
+                 interpret: bool, coarse_engine: str | None = None,
+                 extract: bool = False, rank_engine: str | None = None):
     """Coarse probe + scan-vector prep shared by the single-chip and sharded
     dense paths. Returns (cells (B,w), v (B,w,dq), base (B,w), norm_coef)."""
     queries = queries.astype(jnp.float32)
@@ -97,14 +109,19 @@ def _dense_probe(cq, rotation, queries, *, w: int, metric: Metric,
         # Pallas kernel — XLA-level (B, w, d) gathers/elementwise run far
         # below HBM speed on some runtimes and dominated the search
         from ivfadc_tpu.ops.coarse_scan import coarse_probe_vbase
+        # rotation always comes from the PQ trainer here: identity for
+        # "pq", a Procrustes (orthogonal) solution for "opq" — so the
+        # score-derived |r|^2 identity the v2 engine relies on holds
         fused = coarse_probe_vbase(queries, cq.centroids, w, rotation,
                                    apply_rot, include_base,
                                    interpret=interpret,
-                                   engine=coarse_engine)
+                                   engine=coarse_engine,
+                                   rot_orthogonal=True)
         if fused is not None:
             cells, cdists, v, base = fused
             return cells, v, base, 1.0
-    cells, cdists = cq.search(queries, w)
+    cells, cdists = cq.search(queries, w, extract=extract,
+                              rank_engine=rank_engine)
     cent = cq.centroids[cells]
     if residual_based:
         r = queries[:, None, :] - cent
@@ -133,7 +150,7 @@ def _dense_probe(cq, rotation, queries, *, w: int, metric: Metric,
     static_argnames=("k", "w", "chunk", "pb", "merge", "nf", "pos8",
                      "metric", "include_base", "apply_rot", "residual_based",
                      "interpret", "gather_win", "gather_all",
-                     "coarse_engine"))
+                     "coarse_engine", "extract", "rank_engine"))
 def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, dscale,
                        ids2d, queries,
                        *, k: int, w: int, chunk: int, pb: int, merge: str,
@@ -141,7 +158,9 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, dscale,
                        include_base: bool, apply_rot: bool,
                        residual_based: bool, interpret: bool,
                        gather_win: int = 0, gather_all: bool = False,
-                       coarse_engine: str | None = None):
+                       coarse_engine: str | None = None,
+                       extract: bool = False,
+                       rank_engine: str | None = None):
     """Pallas dense-scan search: coarse probe -> cell-grouped DMA'd matmul
     scan with on-chip top-k -> global merge. Mathematically identical scores
     to the LUT path (up to bf16 rounding): see ops/pallas_scan.py."""
@@ -149,12 +168,14 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, dscale,
         cq, rotation, queries, w=w, metric=metric,
         include_base=include_base, apply_rot=apply_rot,
         residual_based=residual_based, interpret=interpret,
-        coarse_engine=coarse_engine)
+        coarse_engine=coarse_engine, extract=extract,
+        rank_engine=rank_engine)
     out_ids, out_dists = _dense_finish(
         cells, v, base, offsets, sizes, decoded, ids, dscale, ids2d,
         k=k, w=w, chunk=chunk, pb=pb, merge=merge, nf=nf,
         norm_coef=norm_coef, pos8=pos8, interpret=interpret,
-        gather_win=gather_win, gather_all=gather_all)
+        gather_win=gather_win, gather_all=gather_all,
+        extract=extract, rank_engine=rank_engine)
     return out_ids, metric.finalize(out_dists)
 
 
@@ -210,7 +231,8 @@ def _topk_positions(flat_d, flat_p, k, cells, offsets, merge, n_cand, ids,
 def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, dscale,
                   ids2d, *,
                   k, w, chunk, pb, merge, nf, norm_coef, interpret,
-                  pos8=False, gather_win=0, gather_all=False):
+                  pos8=False, gather_win=0, gather_all=False,
+                  extract=False, rank_engine=None):
     """Engine selection + scan + per-device merge: returns raw (ids, dists)
     — callers apply `metric.finalize` exactly once (the sharded path merges
     across shards first). Shared by single-chip and shard-local search."""
@@ -229,14 +251,14 @@ def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, dscale,
         # lies in some probe's buffer, and per-probe extraction keeps that
         # probe's k_out best.
         extract_k = k_out if (emit_ids and 2 * k_out <= 128
-                              and not _NO_EXTRACT) else 0
+                              and extract) else 0
         # probes share cells heavily -> cell-grouped kernel amortizes DMA
         out_d, out_p = grouped_dense_scan(
             cells, offsets, sizes, v, base, decoded, dscale,
             ids2d if emit_ids else None, kc=kc_,
             k_out=k_out, chunk=chunk, norm_coef=norm_coef, pb=pb, merge=merge,
             nf=nf if merge == "fold" else 128, pos8=pos8, interpret=interpret,
-            extract_k=extract_k)
+            extract_k=extract_k, rank_engine=rank_engine)
         n_cand = out_d.shape[-1]
         flat_d = out_d.reshape(B, w * n_cand)
         flat_p = out_p.reshape(B, w * n_cand)
@@ -465,7 +487,8 @@ class IVFADCIndex:
                 residual_based=self.quant_metric.residual_based,
                 interpret=jax.default_backend() == "cpu",
                 gather_win=gather_win, gather_all=gather_all,
-                coarse_engine=os.environ.get("IVFADC_COARSE_ENGINE", "v1"))
+                coarse_engine=_env_coarse_engine(),
+                extract=_env_extract(), rank_engine=_env_rank_engine())
         else:
             dev = self.store.device_view()
             out_ids, out_dists = _search_impl(
@@ -474,7 +497,8 @@ class IVFADCIndex:
                 k=k, w=w, window=self.store.window, metric=self.quant_metric,
                 include_base=include_base,
                 apply_rot=self.quantizer.method == "opq",
-                residual_based=self.quant_metric.residual_based)
+                residual_based=self.quant_metric.residual_based,
+                extract=_env_extract(), rank_engine=_env_rank_engine())
         if Bp == B:
             return out_ids, out_dists
         return out_ids[:B], out_dists[:B]

@@ -36,9 +36,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# default rank engine, read ONCE at import (reaches jitted code at trace
-# time; process-start-only, like the other IVFADC_* kernel knobs).
-# "v1" until v2 is validated on real hardware.
+# Fallback default when no engine is threaded in. Production paths pass
+# the engine explicitly from their dispatch sites (models/index.py /
+# parallel/sharded.py read IVFADC_RANK_ENGINE per call and carry it as a
+# jit static arg, like IVFADC_COARSE_ENGINE); this import-time read only
+# covers direct callers that omit `engine`. "v1" until v2 is validated on
+# real hardware.
 _DEFAULT_ENGINE = os.environ.get("IVFADC_RANK_ENGINE", "v1")
 
 _LANE = 128
@@ -145,7 +148,7 @@ def _rank_kernel_v2(cells_ref,        # (8, 128) i32 block (lane layout)
 
 @functools.partial(jax.jit, static_argnames=("kc", "interpret", "engine"))
 def cell_ranks(cells_flat, *, kc: int, interpret: bool = False,
-               engine: str = None):
+               engine: str | None = None):
     """cells_flat (P,) i32 in [0, kc) -> (rank (P,) i32, counts (kc,) i32).
 
     rank[p] = stable rank of p among equal-cell probes; counts = histogram.

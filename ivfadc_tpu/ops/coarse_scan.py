@@ -239,19 +239,23 @@ def _coarse_vbase_pallas_v2(queries, cents, cnorms, rot, hi, lo,
 def coarse_probe_vbase(queries, centroids, w: int, rotation,
                        apply_rot: bool, include_base: bool,
                        *, interpret: bool | None = None,
-                       engine: str | None = None):
+                       engine: str | None = None,
+                       rot_orthogonal: bool = False):
     """Fused coarse probe + scan-input construction (squared-euclidean).
 
     Returns (cells (B,w) i32, cdists (B,w) f32, v (B,w,d) bf16,
     base (B,w) f32) or None when the shape doesn't suit the kernel.
     v = -2 * rot(q - c); base = |rot(q - c)|^2 (+ cdist when include_base).
 
-    `rotation` must be orthogonal (true for both the PQ identity and the
-    OPQ Procrustes solution): the v2 engine derives |rot(q-c)|^2 from the
-    coarse scores, which only matches under an isometry.
+    The v2 engine derives |rot(q-c)|^2 from the coarse scores, which only
+    matches when `rotation` is an isometry — callers must declare that via
+    `rot_orthogonal=True` (true for the PQ identity and the OPQ Procrustes
+    solution); otherwise a v2 request silently runs the always-correct v1.
     """
     if engine is None:
         engine = _DEFAULT_ENGINE
+    if engine == "v2" and apply_rot and not rot_orthogonal:
+        engine = "v1"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, d = queries.shape
@@ -275,6 +279,10 @@ def coarse_probe_vbase(queries, centroids, w: int, rotation,
         else jnp.eye(d, dtype=jnp.float32)
     qn = jnp.sum(q32 * q32, axis=1, keepdims=True)
     if engine == "v2":
+        # The hi/lo split is rebuilt inside every jitted dispatch; at
+        # kc*d*d = ~17M MACs it is noise next to the kernel's per-batch
+        # B*kc*d score matmul for any batch the fused path accepts, so a
+        # caller-side cache is not worth the extra traced arguments.
         rot_c = c32 @ rot if apply_rot else c32       # pre-rotated table
         hi = rot_c.astype(jnp.bfloat16)
         lo = (rot_c - hi.astype(jnp.float32)).astype(jnp.bfloat16)

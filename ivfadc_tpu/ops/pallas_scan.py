@@ -397,14 +397,14 @@ def _tile_map(counts, offsets, sizes, pb: int, T_max: int, kc: int):
 @functools.partial(
     jax.jit,
     static_argnames=("kc", "k_out", "chunk", "norm_coef", "pb", "merge",
-                     "nf", "pos8", "interpret", "extract_k"))
+                     "nf", "pos8", "interpret", "extract_k", "rank_engine"))
 def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
                        ids2d=None,
                        *, kc: int,
                        k_out: int, chunk: int, norm_coef: float = 1.0,
                        pb: int = 16, merge: str = "exact", nf: int = _CAND,
                        pos8: bool = False, interpret: bool = False,
-                       extract_k: int = 0):
+                       extract_k: int = 0, rank_engine: str | None = None):
     """Cell-major grouped scan. Groups the B*w probes by probed cell into
     tiles of 8, so each cell's postings are DMA'd once per tile (up to 8x
     less HBM traffic) and the MXU runs real (8, d) matmuls.
@@ -460,7 +460,8 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
         # counters — ~2x faster than lax.sort's bitonic network, and the
         # rank is exactly the quantity the tile math needs (no inverse
         # permutation / searchsorted bookkeeping on P-sized arrays)
-        ranks, counts = cell_ranks(cells_flat, kc=kc, interpret=interpret)
+        ranks, counts = cell_ranks(cells_flat, kc=kc, interpret=interpret,
+                                   engine=rank_engine)
         tile_base, _, _, _, tile_start, tile_size = _tile_map(
             counts, offsets, sizes, pb, T_max, kc)
         row = (tile_base[cells_flat] + ranks // pb) * pb + ranks % pb

@@ -18,7 +18,6 @@ the gather to ICI all-gathers on a real slice.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Tuple
 
 import jax
@@ -27,7 +26,9 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ivfadc_tpu.models.index import IVFADCIndex, _bucket_batch
+from ivfadc_tpu.models.index import (IVFADCIndex, _bucket_batch,
+                                     _env_coarse_engine, _env_extract,
+                                     _env_rank_engine)
 from ivfadc_tpu.ops.adc import build_adc_tables, scan_postings
 from ivfadc_tpu.ops.metrics import Metric
 from ivfadc_tpu.ops.pallas_scan import grouped_dense_scan
@@ -91,7 +92,7 @@ def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
                         ids2d_l, q_l, *, k, w, metric, include_base,
                         apply_rot, residual_based, chunk, pb, merge, nf,
                         pos8, interpret, gather_win=0, gather_all=False,
-                        coarse_engine=None):
+                        coarse_engine=None, extract=False, rank_engine=None):
     """Shard-local dense search — the exact single-chip pipeline (fused
     coarse probe + grouped scan + in-kernel id emission) run on the local
     CSR arrays. Returns raw per-shard (B, k) candidates."""
@@ -99,12 +100,14 @@ def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
     cells, v, base, norm_coef = _dense_probe(
         cq_l, rot_l, q_l, w=w, metric=metric, include_base=include_base,
         apply_rot=apply_rot, residual_based=residual_based,
-        interpret=interpret, coarse_engine=coarse_engine)
+        interpret=interpret, coarse_engine=coarse_engine,
+        extract=extract, rank_engine=rank_engine)
     return _dense_finish(
         cells, v, base, off_l, siz_l, dec_l, ids_l, scale_l, ids2d_l,
         k=k, w=w, chunk=chunk, pb=pb, merge=merge, nf=nf,
         norm_coef=norm_coef, pos8=pos8, interpret=interpret,
-        gather_win=gather_win, gather_all=gather_all)
+        gather_win=gather_win, gather_all=gather_all,
+        extract=extract, rank_engine=rank_engine)
 
 
 @functools.partial(
@@ -112,7 +115,8 @@ def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
     static_argnames=("mesh", "k", "w", "window", "metric", "include_base",
                      "apply_rot", "residual_based", "dense", "chunk", "pb",
                      "merge", "nf", "pos8", "interpret", "overlap",
-                     "gather_win", "gather_all", "coarse_engine"))
+                     "gather_win", "gather_all", "coarse_engine",
+                     "extract", "rank_engine"))
 def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                          dscale, ids2d, queries, *, mesh, k: int, w: int,
                          window: int,
@@ -123,7 +127,9 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                          pos8: bool = False, interpret: bool = False,
                          gather_win: int = 0, gather_all: bool = False,
                          overlap: bool = True,
-                         coarse_engine: str | None = None):
+                         coarse_engine: str | None = None,
+                         extract: bool = False,
+                         rank_engine: str | None = None):
     """Queries (B, d) replicated over shard / sharded over data; per-shard CSR
     arrays stacked on a leading shard axis. `codes` is the flat PQ-code array
     in LUT mode or the decoded residual cache in dense mode. Returns
@@ -153,8 +159,10 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                     residual_based=residual_based, chunk=chunk, pb=pb,
                     merge=merge, nf=nf, pos8=pos8, interpret=interpret,
                     gather_win=gather_win, gather_all=gather_all,
-                    coarse_engine=coarse_engine)
-            cells, cdists = cq_l.search(q_b, w)
+                    coarse_engine=coarse_engine, extract=extract,
+                    rank_engine=rank_engine)
+            cells, cdists = cq_l.search(q_b, w, extract=extract,
+                                        rank_engine=rank_engine)
             cent = cq_l.centroids[cells]
             if residual_based:
                 vecs = q_b[:, None, :] - cent
@@ -563,7 +571,8 @@ class ShardedIVFADCIndex:
             gather_all=self.gather_plan[1] if dense else False,
             interpret=jax.default_backend() == "cpu",
             overlap=overlap,
-            coarse_engine=os.environ.get("IVFADC_COARSE_ENGINE", "v1"))
+            coarse_engine=_env_coarse_engine(),
+            extract=_env_extract(), rank_engine=_env_rank_engine())
         return ids, dists, B
 
     def search_padded(self, queries: np.ndarray, k: int, w: int = 1, *,

@@ -32,7 +32,8 @@ def test_vbase_v2_matches_v1(apply_rot, include_base):
     for engine in ("v1", "v2"):
         r = coarse_probe_vbase(jnp.asarray(q), jnp.asarray(cents), w,
                                jnp.asarray(rot), apply_rot, include_base,
-                               interpret=True, engine=engine)
+                               interpret=True, engine=engine,
+                               rot_orthogonal=True)
         assert r is not None
         out[engine] = [np.asarray(x) for x in r]
     cells1, cd1, v1, b1 = out["v1"]
@@ -46,6 +47,24 @@ def test_vbase_v2_matches_v1(apply_rot, include_base):
     # to f32 cancellation on the |q|^2 + |c|^2 scale
     scale = np.abs(b1).max() + (q * q).sum(1).max()
     np.testing.assert_allclose(b1, b2, atol=1e-5 * scale, rtol=1e-4)
+
+
+def test_vbase_v2_undeclared_rotation_falls_back():
+    """Without rot_orthogonal=True an apply_rot v2 request must run the
+    always-correct v1 (bit-identical outputs, including the |r|^2 base)."""
+    rng = np.random.RandomState(5)
+    B, d, kc, w = 16, 128, 128, 2
+    cents = rng.randn(kc, d).astype(np.float32)
+    q = rng.randn(B, d).astype(np.float32)
+    rot = _random_orthogonal(d, rng) * 1.5        # NOT an isometry
+    a = coarse_probe_vbase(jnp.asarray(q), jnp.asarray(cents), w,
+                           jnp.asarray(rot), True, False,
+                           interpret=True, engine="v2")
+    b = coarse_probe_vbase(jnp.asarray(q), jnp.asarray(cents), w,
+                           jnp.asarray(rot), True, False,
+                           interpret=True, engine="v1")
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
 @pytest.mark.parametrize("method", ["pq", "opq"])

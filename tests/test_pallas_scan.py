@@ -208,6 +208,20 @@ def test_grouped_extract_matches_buffered_topk(nf, chunk, pb, k):
                                           np.full((~finite).sum(), -1))
 
 
+def test_dense_scan_buffered_default_matches_lut(monkeypatch):
+    """conftest opts the whole suite into extraction (IVFADC_EXTRACT=1), but
+    the SHIPPED default is extraction OFF (buffered fold epilogue +
+    full-candidate merge). Pin that path end-to-end: with extraction forced
+    off at dispatch time, the dense search must still match the LUT engine.
+    The env knobs are re-read per dispatch as jit static args, so the
+    monkeypatch takes effect without a subprocess."""
+    monkeypatch.setenv("IVFADC_NO_EXTRACT", "1")
+    base, idx = _build(scan_mode="dense")
+    _, idx_lut = _build(scan_mode="lut")
+    q = base[np.random.RandomState(7).choice(len(base), 16, replace=False)]
+    _compare(idx, idx_lut, q, k=10, w=4)
+
+
 def test_gathered_engine_matches_lut():
     # ungrouped regime (B*w << 4*kc is false here, so force via small batch)
     # with tiny cells: the gathered engine must cover every cell and match
