@@ -48,13 +48,21 @@ def run_one(pb: int, chunk: int, merge: str):
     interp = jax.default_backend() == "cpu"
 
     nf = int(os.environ.get("IVFADC_SWEEP_NF", 128)) if merge == "fold" else 128
+    # production path: stream ids2d + in-kernel extraction when opted in,
+    # so the sweep ranks pb/chunk under the same kernel the search runs
+    ids2d = dev.get("ids2d") if merge == "fold" else None
+    extract_k = (min(k, 64)
+                 if ids2d is not None
+                 and os.environ.get("IVFADC_EXTRACT", "0") == "1" else 0)
 
-    def run():
+    def run(i):
+        # vary inputs per rep: some tunneled runtimes memoize identical
+        # pure (executable, args) calls
         return grouped_dense_scan(
-            cells, dev["offsets"], dev["sizes"], v, bse, dev["decoded"],
-            dev["scale"],
+            cells, dev["offsets"], dev["sizes"], v + 1e-6 * i, bse,
+            dev["decoded"], dev["scale"], ids2d,
             kc=kc, k_out=min(k, 128), chunk=chunk, norm_coef=1.0, pb=pb,
-            merge=merge, nf=nf, interpret=interp)
+            merge=merge, nf=nf, interpret=interp, extract_k=extract_k)
 
     t = true_time(run, reps=20, warm=2, baseline=roundtrip_latency())
 
@@ -77,11 +85,20 @@ def main():
         i = sys.argv.index("--one")
         run_one(int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3])
         return
+    # override the grid via env, e.g. IVFADC_SWEEP_GRID="fold:64,128,256:1024,2048"
+    grid = os.environ.get("IVFADC_SWEEP_GRID", "")
     configs = []
-    for merge in ("fold", "exact"):
-        for pb in (16, 32, 64, 128):
-            for chunk in (512, 1024, 2048):
-                configs.append((pb, chunk, merge))
+    if grid:
+        merges, pbs, chunks = grid.split(":")
+        for merge in merges.split(","):
+            for pb in pbs.split(","):
+                for chunk in chunks.split(","):
+                    configs.append((int(pb), int(chunk), merge))
+    else:
+        for merge in ("fold", "exact"):
+            for pb in (16, 32, 64, 128):
+                for chunk in (512, 1024, 2048):
+                    configs.append((pb, chunk, merge))
     for pb, chunk, merge in configs:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__),

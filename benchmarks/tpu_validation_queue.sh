@@ -28,6 +28,11 @@ echo "=== coarse A/B ==="
 timeout 5400 python benchmarks/ab_coarse.py --e2e 2>&1 | grep -E "RESULT|FAILED"
 echo "=== deep1b gathered A/B ==="
 timeout 5400 python benchmarks/deep1b_shape.py 2>&1 | grep -E "RESULT|plan|build|\["
+echo "=== pb/chunk sweep under the production kernel (ids2d + extraction) ==="
+# the scan kernel looks grid-step-overhead bound (~3073 tiles x ~0.8us vs a
+# 0.3 ms DMA roofline): larger pb halves the tile count
+IVFADC_EXTRACT=1 IVFADC_SWEEP_GRID="fold:64,128,256:1024,2048" \
+  timeout 7200 python benchmarks/sweep_kernel.py 2>&1 | grep RESULT
 echo "=== combined-engine bench (extract + rank v2 + coarse v2) ==="
 IVFADC_EXTRACT=1 IVFADC_RANK_ENGINE=v2 IVFADC_COARSE_ENGINE=v2 \
   timeout 3600 python bench.py 2>&1 | tail -2
