@@ -131,6 +131,25 @@ def test_sharded_dense_scan_matches_single_chip(base_index):
                                rtol=2e-2, atol=1e-2)
 
 
+def test_sharded_dense_buffered_default_matches_single_chip(base_index,
+                                                            monkeypatch):
+    """The shipped default (extraction OFF) through shard_map: the buffered
+    fold epilogue must still merge to the single-chip result. Knobs are
+    re-read per dispatch, so the monkeypatch retraces both paths."""
+    monkeypatch.setenv("IVFADC_NO_EXTRACT", "1")
+    base, _ = base_index
+    idx = IVFADCIndex.build(base, kc=16, k=32, m=4, seed=0,
+                            scan_mode="dense")
+    sidx = ShardedIVFADCIndex(idx, make_mesh(n_shards=4, n_data=2))
+    q = base[:64]
+    ids_s, d_s = sidx.search_padded(q, 10, w=8)
+    ids_1, d_1 = idx.search_padded(q, 10, w=8)
+    same = [set(a[a >= 0]) == set(b[b >= 0]) for a, b in zip(ids_s, ids_1)]
+    assert np.mean(same) == 1.0
+    np.testing.assert_allclose(np.sort(d_s, 1), np.sort(d_1, 1),
+                               rtol=2e-2, atol=1e-2)
+
+
 def test_sharded_gathered_engine_matches_single_chip(base_index):
     # tiny 8-row-aligned cells + small batch: the per-shard local search
     # must take the gathered engine (ops/gather_scan.py) and stay exact
