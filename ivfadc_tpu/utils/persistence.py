@@ -19,6 +19,7 @@ exactly. The two-level coarse quantizer's grouping arrays are saved too
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 
@@ -52,8 +53,17 @@ def save_index(path: str, index) -> None:
         arrays["group_members"] = np.asarray(index.coarse.members)
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8)
-    with open(path, "wb") as f:
-        np.savez(f, **arrays)
+    # atomic write (temp + rename): persistence doubles as the checkpoint
+    # layer (SURVEY §5), so a crash mid-save must not tear a good snapshot
+    # (parity with the sharded writer, parallel/persistence.py)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def load_index(path: str):
