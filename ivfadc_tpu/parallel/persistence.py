@@ -102,9 +102,13 @@ def save_sharded_index(path: str, sidx) -> None:
     off_blocks = _local_shard_blocks(sidx.arrays["offsets"], owned_only=True)
     size_blocks = _local_shard_blocks(sidx.arrays["sizes"], owned_only=True)
     for s, codes in code_blocks.items():
-        with open(os.path.join(path, f"shard_{s:05d}.npz"), "wb") as f:
+        # same temp + rename discipline as the manifest/common writers:
+        # a crash mid-write must not tear an existing shard snapshot
+        tmp = os.path.join(path, f".shard_{s:05d}.npz.p{pidx}")
+        with open(tmp, "wb") as f:
             np.savez(f, codes=codes, ids=id_blocks[s],
                      offsets=off_blocks[s], sizes=size_blocks[s])
+        os.replace(tmp, os.path.join(path, f"shard_{s:05d}.npz"))
 
 
 def load_sharded_index(path: str, mesh=None):
