@@ -761,6 +761,56 @@ class IVFADCIndex:
                 f"k={self.config.k}, {self.bytes_per_vector()}-byte encoding, "
                 f"{len(self)} vectors")
 
+    def memory_stats(self) -> dict:
+        """Operator-facing size accounting (SURVEY §5 observability row).
+
+        Reports the encoded payload, CSR capacity overhead, cell-size
+        distribution, coarse-structure footprint, and — when a device view
+        exists — the bytes resident on device (decoded scan cache, id
+        streams). Never forces hydration or device materialization."""
+        st = self.store
+        sizes = np.asarray(st.sizes)
+        live = sizes[sizes > 0]
+        id_bytes = DTYPE_TO_BITS[self.config.index_dtype] // 8
+        code_bytes = np.dtype(st.code_dtype).itemsize * self.config.m
+        out = {
+            "n": int(len(self)),
+            "bytes_per_vector": self.bytes_per_vector(),
+            "encoded_bytes": int(len(self)) * self.bytes_per_vector(),
+            "capacity_slots": int(st.total_cap),
+            "capacity_bytes": int(st.total_cap) * (id_bytes + code_bytes),
+            "fill_ratio": float(len(self) / max(st.total_cap, 1)),
+            "cells": {
+                "kc": int(self.config.kc),
+                "live": int((sizes > 0).sum()),
+                "p50": int(np.percentile(live, 50)) if live.size else 0,
+                "p95": int(np.percentile(live, 95)) if live.size else 0,
+                "max": int(sizes.max(initial=0)),
+            },
+            "coarse_bytes": int(np.asarray(self.coarse.centroids).nbytes),
+            "codebook_bytes": int(
+                np.asarray(self.quantizer.codebooks).nbytes),
+        }
+        if getattr(self.coarse, "kind", "") == "two_level":
+            out["coarse_bytes"] += int(
+                np.asarray(self.coarse.cent_scan).nbytes
+                + np.asarray(self.coarse.group_centers).nbytes
+                + np.asarray(self.coarse.members).nbytes)
+        dev = st._device_dense
+        if dev is not None:
+            dec = dev.get("decoded")
+            out["device_scan_cache_bytes"] = (
+                int(dec.size) * dec.dtype.itemsize if dec is not None else 0)
+            ids2d = dev.get("ids2d")
+            if ids2d is not None:
+                out["device_scan_cache_bytes"] += int(ids2d.size) * 4
+        if st._device is not None:
+            v = st._device
+            out["device_lut_bytes"] = sum(
+                int(a.size) * a.dtype.itemsize
+                for kk in ("codes", "ids") if (a := v.get(kk)) is not None)
+        return out
+
     # ------------------------------------------------------------ persistence
     def save(self, path: str) -> None:
         from ivfadc_tpu.utils.persistence import save_index

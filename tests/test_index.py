@@ -92,3 +92,20 @@ def test_quantization_sample_build(random_data):
     idx = build_random_index(random_data, quantization_sample=100)
     ids, _ = idx.search(np.asarray(random_data[3], np.float32), 3, w=4)
     assert len(ids) <= 3
+
+
+def test_memory_stats(random_data):
+    """memory_stats reports encoded/capacity accounting without forcing
+    device materialization, and adds device bytes once a view exists."""
+    from tests.conftest import build_random_index
+    idx = build_random_index(random_data)
+    s = idx.memory_stats()
+    assert s["n"] == len(idx)
+    assert s["encoded_bytes"] == len(idx) * idx.bytes_per_vector()
+    assert s["capacity_slots"] >= s["n"]
+    assert 0 < s["fill_ratio"] <= 1
+    assert s["cells"]["live"] <= s["cells"]["kc"]
+    assert "device_scan_cache_bytes" not in s      # nothing materialized yet
+    idx.search(np.asarray(random_data[0], np.float32), 2, w=2)
+    s2 = idx.memory_stats()
+    assert "device_lut_bytes" in s2 or "device_scan_cache_bytes" in s2
