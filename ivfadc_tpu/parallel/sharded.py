@@ -245,6 +245,29 @@ class ShardedIVFADCIndex:
     Results are exactly the single-chip results (same top-k, merged).
     """
 
+    def __repr__(self) -> str:
+        return (f"ShardedIVFADCIndex({self.n_shards} shards x "
+                f"{self.mesh.shape[DATA_AXIS]} data, scan_mode="
+                f"{self.scan_mode}, {len(self.index)} vectors; "
+                f"base: {self.index!r})")
+
+    def memory_stats(self) -> dict:
+        """Base-index accounting plus the per-shard device footprint: the
+        stacked CSR arrays carry a leading shard axis, so bytes below are
+        totals across shards (divide by n_shards for per-device)."""
+        out = self.index.memory_stats()
+        dev = 0
+        for name in ("codes", "ids", "ids2d", "offsets", "sizes"):
+            a = self.arrays.get(name)
+            if a is not None:
+                dev += int(a.size) * a.dtype.itemsize
+        if self.shard_pq_codes is not None:
+            dev += int(self.shard_pq_codes.size) \
+                * self.shard_pq_codes.dtype.itemsize
+        out["sharded_device_bytes_total"] = dev
+        out["n_shards"] = self.n_shards
+        return out
+
     def __init__(self, index: IVFADCIndex, mesh=None):
         mesh = mesh if mesh is not None else make_mesh()
         parts = partition_store(index.store, mesh.shape[SHARD_AXIS])
