@@ -93,6 +93,37 @@ def test_end_to_end_search_v2_engine(monkeypatch, method):
     np.testing.assert_allclose(d1[agree], d2[agree], rtol=2e-2, atol=1e-2)
 
 
+def test_end_to_end_combined_v2_stack(monkeypatch):
+    """All round-2 engines at once (extraction + rank v2 + coarse v2) —
+    the combination the TPU validation queue benchmarks — must match the
+    all-default stack end-to-end."""
+    from ivfadc_tpu import IVFADCIndex
+    rng = np.random.RandomState(11)
+    kc, d, n_per = 128, 128, 24
+    centers = rng.randn(kc, d).astype(np.float32) * 4
+    base = np.concatenate(
+        [c + rng.randn(n_per, d).astype(np.float32) for c in centers])
+    idx = IVFADCIndex.build(base, kc=kc, k=32, m=8, seed=0,
+                            coarse_maxiter=8, quantization_maxiter=8,
+                            scan_mode="dense")
+    q = base[rng.choice(len(base), 32, replace=False)]
+    monkeypatch.setenv("IVFADC_NO_EXTRACT", "1")      # defaults: all v1
+    monkeypatch.setenv("IVFADC_RANK_ENGINE", "v1")
+    monkeypatch.setenv("IVFADC_COARSE_ENGINE", "v1")
+    ids1, d1 = idx.search_padded(q, 10, w=8)
+    monkeypatch.delenv("IVFADC_NO_EXTRACT")
+    monkeypatch.setenv("IVFADC_EXTRACT", "1")
+    monkeypatch.setenv("IVFADC_RANK_ENGINE", "v2")
+    monkeypatch.setenv("IVFADC_COARSE_ENGINE", "v2")
+    ids2, d2 = idx.search_padded(q, 10, w=8)
+    overlap = np.mean([
+        len(set(a[a >= 0]) & set(b[b >= 0])) / max(len(set(b[b >= 0])), 1)
+        for a, b in zip(ids2, ids1)])
+    assert overlap > 0.95, overlap
+    agree = ids1 == ids2
+    np.testing.assert_allclose(d1[agree], d2[agree], rtol=2e-2, atol=1e-2)
+
+
 def test_vbase_v2_exact_rows_no_rot():
     """With q == a centroid, v2 must return v == 0 for the winning probe
     (hi+lo reconstructs the table row to ~f32)."""
