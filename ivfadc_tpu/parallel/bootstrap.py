@@ -64,7 +64,10 @@ def initialize_cluster(coordinator_address: Optional[str] = None,
         raw = env.get("IVFADC_LOCAL_DEVICE_IDS")
         if raw:
             local_device_ids = [int(x) for x in raw.split(",")]
-    explicit = coordinator_address is not None or num_processes is not None
+    explicit = (coordinator_address is not None
+                or num_processes is not None
+                or process_id is not None
+                or local_device_ids is not None)
     if not explicit and not any(v in env for v in _AUTO_DETECT_VARS):
         return False                              # single-process: no-op
     import jax

@@ -30,7 +30,6 @@ bit-compatible with a single-host build from the same trained components.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -264,8 +263,8 @@ def build_distributed_parts(data, mesh, config):
     # indistinguishable; encoding still covers every point)
     qs = config.quantization_sample or min(n, _PQ_TRAIN_AUTOCAP)
     qs = min(qs, n)
-    sel = np.sort(np.random.RandomState(config.seed).choice(
-        n, qs, replace=False)) if qs < n else np.arange(n)
+    from ivfadc_tpu.utils.datasets import sample_indices
+    sel = sample_indices(config.seed, n, qs)   # O(qs), not an O(n) permutation
     # cross-shard device gather of just the sample rows (replicated result)
     sample = jnp.asarray(data[sel]) if not on_device \
         else xd[jnp.asarray(sel)]

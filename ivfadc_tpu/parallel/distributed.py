@@ -26,7 +26,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ivfadc_tpu.ops.metrics import Metric, SQEUCLIDEAN
-from ivfadc_tpu.parallel.mesh import DATA_AXIS, SHARD_AXIS
+from ivfadc_tpu.parallel.mesh import DATA_AXIS
 
 
 def _local_stats(x_local, mask_local, centers, metric: Metric,
@@ -115,7 +115,8 @@ def distributed_kmeans(key, x, k: int, mesh, *,
     # k-means++ on a replicated subsample (gathered device-side when the
     # input is already sharded — the sample is tiny)
     n_samp = min(n, max(k * 16, 1024))
-    sel = np.sort(np.random.RandomState(0).choice(n, n_samp, replace=False))
+    from ivfadc_tpu.utils.datasets import sample_indices
+    sel = sample_indices(0, n, n_samp)         # O(n_samp), not O(n)
     sample = jnp.asarray(np.asarray(x)[sel]) if not isinstance(x, jax.Array) \
         else xd[jnp.asarray(sel)]
     centers = kmeans_plus_plus(key, sample, k, metric)

@@ -25,6 +25,10 @@ def make_mesh(n_shards: int = 0, n_data: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if n_shards == 0:
         n_shards = len(devices) // n_data
+        if n_shards == 0:
+            raise ValueError(
+                f"n_data={n_data} exceeds the {len(devices)} available "
+                "devices — no room for a shard axis")
     need = n_data * n_shards
     if need > len(devices):
         raise ValueError(f"need {need} devices, have {len(devices)}")

@@ -31,7 +31,6 @@ from ivfadc_tpu.models.index import (IVFADCIndex, _bucket_batch,
                                      _env_rank_engine)
 from ivfadc_tpu.ops.adc import build_adc_tables, scan_postings
 from ivfadc_tpu.ops.metrics import Metric
-from ivfadc_tpu.ops.pallas_scan import grouped_dense_scan
 from ivfadc_tpu.parallel.mesh import DATA_AXIS, SHARD_AXIS, make_mesh
 
 _LANE = 128
@@ -61,7 +60,15 @@ def partition_store(store, n_shards: int, align: int = 0):
     owners = cells % n_shards
     sizes_per = np.zeros((n_shards, kc), np.int64)
     sizes_per[owners, cells] = store.sizes
-    caps_per = np.maximum(a, ((sizes_per + 8 + a - 1) // a) * a)
+    # capacity only on the OWNER shard: ownership is fixed (c % S), so the
+    # S-1 non-owner copies of a cell can never receive rows — giving them
+    # the >= align floor would put kc*(S-1)/S permanently-dead aligned
+    # blocks in every shard's codes/ids/decoded-cache arrays. Zero-cap
+    # cells scan as empty windows (same tolerance as empty cells).
+    owner_mask = np.zeros((n_shards, kc), bool)
+    owner_mask[owners, cells] = True
+    caps_per = np.where(
+        owner_mask, np.maximum(a, ((sizes_per + 8 + a - 1) // a) * a), 0)
     offsets_per = np.zeros((n_shards, kc), np.int64)
     np.cumsum(caps_per[:, :-1], axis=1, out=offsets_per[:, 1:])
     totals = offsets_per[:, -1] + caps_per[:, -1]
@@ -261,7 +268,10 @@ class ShardedIVFADCIndex:
             a = self.arrays.get(name)
             if a is not None:
                 dev += int(a.size) * a.dtype.itemsize
-        if self.shard_pq_codes is not None:
+        # LUT mode aliases arrays["codes"] to shard_pq_codes — don't count
+        # the same buffer twice
+        if (self.shard_pq_codes is not None
+                and self.shard_pq_codes is not self.arrays.get("codes")):
             dev += int(self.shard_pq_codes.size) \
                 * self.shard_pq_codes.dtype.itemsize
         out["sharded_device_bytes_total"] = dev

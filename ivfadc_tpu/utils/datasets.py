@@ -96,3 +96,23 @@ def load_or_synthesize(name: str, n: int, d: int, seed: int = 0,
             if os.path.exists(p):
                 return reader(p, max_rows=n)
     return synthetic_clustered(n, d, seed=seed)
+
+
+def sample_indices(seed: int, n: int, size: int) -> np.ndarray:
+    """`size` distinct sorted indices in [0, n) in O(size) host memory.
+
+    `RandomState.choice(n, size, replace=False)` materializes a full O(n)
+    permutation — ~8 GB of int64 and tens of seconds at the Deep1B n=1e9
+    the distributed build targets. Rejection-sample unique draws instead
+    (expected <2 rounds while size << n; falls back to a permutation only
+    when size is a large fraction of n, where O(n) is inherent)."""
+    if size >= n:
+        return np.arange(n, dtype=np.int64)
+    rng = np.random.RandomState(seed)
+    if size > n // 2:
+        return np.sort(rng.permutation(n)[:size].astype(np.int64))
+    out = np.unique(rng.randint(0, n, int(size * 1.2) + 16))
+    while out.size < size:
+        out = np.unique(np.concatenate(
+            [out, rng.randint(0, n, int(size * 0.5) + 16)]))
+    return np.sort(rng.permutation(out)[:size]).astype(np.int64)

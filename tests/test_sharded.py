@@ -131,6 +131,27 @@ def test_sharded_dense_scan_matches_single_chip(base_index):
                                rtol=2e-2, atol=1e-2)
 
 
+def test_partition_store_owner_only_capacity(base_index):
+    """Non-owner shards carry ZERO capacity for foreign cells: ownership is
+    fixed round-robin, so the >= align floor on S-1 copies of every cell
+    would be permanently dead rows (scaling with S in codes/ids and the
+    decoded scan cache)."""
+    from ivfadc_tpu.parallel.sharded import partition_store
+    base, idx = base_index
+    S = 4
+    parts = partition_store(idx.store, S)
+    caps = np.asarray(parts["caps"])
+    kc = caps.shape[1]
+    cells = np.arange(kc)
+    owners = cells % S
+    for s in range(S):
+        foreign = caps[s, owners != s]
+        assert (foreign == 0).all(), foreign.max()
+        assert (caps[s, owners == s] > 0).all()
+    # total capacity is within ~1 aligned block per owned cell of the data
+    assert caps.sum() <= idx.store.total_cap + kc * parts["align"]
+
+
 def test_sharded_dense_buffered_default_matches_single_chip(base_index,
                                                             monkeypatch):
     """The shipped default (extraction OFF) through shard_map: the buffered
