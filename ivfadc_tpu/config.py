@@ -23,6 +23,13 @@ DTYPE_TO_BITS = {
     "uint64": 64,
 }
 
+# Device-side id representation cap: search kernels stream/emit ids as
+# int32 (ids2d rows, fold payloads, epilogue masks treat negatives as
+# padding), so external ids must stay below 2^31 regardless of how wide
+# `index_dtype` is on the host (uint64 storage is fine; ids above the cap
+# would wrap negative on device and silently vanish from results).
+DEVICE_ID_CAP = 1 << 31
+
 VALID_QUANTIZATION_METHODS = ("pq", "opq")
 # "naive" = brute-force matmul coarse scan; "hnsw" is accepted for API parity
 # with the reference (/root/reference/src/defaults.jl:7) and maps to the
@@ -193,6 +200,10 @@ class IVFADCConfig:
         if DTYPE_TO_BITS[self.index_dtype] < bits_required(n):
             raise AssertionError(
                 f"{n} vectors require at least {bits_required(n)} index bits")
+        if n > DEVICE_ID_CAP:
+            raise AssertionError(
+                f"{n} vectors exceed the device int32 id representation "
+                f"({DEVICE_ID_CAP}); shard the index instead")
 
     @property
     def code_dtype(self) -> str:

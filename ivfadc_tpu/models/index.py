@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ivfadc_tpu.config import DTYPE_TO_BITS, IVFADCConfig
+from ivfadc_tpu.config import DEVICE_ID_CAP, DTYPE_TO_BITS, IVFADCConfig
 from ivfadc_tpu.ops import pq as pq_ops
 from ivfadc_tpu.ops.adc import build_adc_tables, scan_postings
 from ivfadc_tpu.ops.metrics import Metric, get_metric
@@ -44,8 +44,10 @@ from ivfadc_tpu.utils.profiling import BuildTimer
 # off. The v2 engines stay off by default until their TPU A/Bs run
 # (benchmarks/ab_rank.py, benchmarks/ab_coarse.py).
 def _env_extract() -> bool:
+    # "0"/"" mean unset for the override too — IVFADC_NO_EXTRACT=0 must
+    # not silently disable extraction during an A/B
     return (os.environ.get("IVFADC_EXTRACT", "0") == "1"
-            and not os.environ.get("IVFADC_NO_EXTRACT"))
+            and os.environ.get("IVFADC_NO_EXTRACT", "0") in ("", "0"))
 
 
 def _env_rank_engine() -> str:
@@ -83,6 +85,10 @@ def _search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids, queries,
         vecs = jnp.broadcast_to(queries[:, None, :],
                                 (queries.shape[0], w, queries.shape[1]))
         base = jax.vmap(metric.pairwise)(queries[:, None, :], cent)[:, 0, :]
+    # kill PADDED probes (two-level coarse pads with cell 0 + dist inf
+    # past its candidate supply): a finite recomputed base would re-scan
+    # cell 0 and duplicate its neighbors in the final top-k
+    base = jnp.where(jnp.isfinite(cdists), base, jnp.inf)
     if vecs.shape[-1] != dq:            # ragged-subspace zero padding
         vecs = jnp.pad(vecs, ((0, 0), (0, 0), (0, dq - vecs.shape[-1])))
     if apply_rot:
@@ -142,6 +148,11 @@ def _dense_probe(cq, rotation, queries, *, w: int, metric: Metric,
         v = jnp.broadcast_to(-q[:, None, :], (B, w, q.shape[-1]))
         base = jax.vmap(metric.pairwise)(queries[:, None, :], cent)[:, 0, :]
         norm_coef = 0.0
+    # A quantizer may PAD probes past its candidate supply (the two-level
+    # coarse pads with cell 0 + dist inf, coarse.py). Recomputed bases are
+    # finite for those probes, so without this mask a padded probe re-scans
+    # cell 0 and duplicates its neighbors in the final top-k.
+    base = jnp.where(jnp.isfinite(cdists), base, jnp.inf)
     return cells, v, base, norm_coef
 
 
@@ -334,12 +345,9 @@ class IVFADCIndex:
             raise ValueError(
                 f"quantization metric {self.quant_metric.name!r} is not "
                 "additive over subspaces — ADC search would be meaningless")
-        if config.scan_mode == "dense" and self.quant_metric.name not in (
-                "sqeuclidean", "euclidean", "inner_product"):
-            raise ValueError(
-                f"scan_mode='dense' does not support metric "
-                f"{self.quant_metric.name!r} (needs a dot-product "
-                f"decomposition); use 'lut'")
+        if config.scan_mode == "dense":
+            # fail fast; _resolve_scan_mode owns the dense-metric allowlist
+            self._resolve_scan_mode()
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -509,19 +517,22 @@ class IVFADCIndex:
         kc=2^18: ~8-row cells) would waste ~chunk/cell_size of bandwidth at
         the configured chunk. Clamp to the p95 cell capacity, rounded up to
         a scan_fold_lanes multiple (the kernel requires nf | chunk), so most
-        cells stay single-chunk with bounded padding. Cached per caps array
-        (caps only change on cell growth, which replaces the array)."""
+        cells stay single-chunk with bounded padding. Cached per (caps
+        array identity, caps max): `_grow_cell` mutates caps IN PLACE, so
+        identity alone would keep serving a chunk sized for the pre-growth
+        distribution (same hazard `_gather_plan` guards against)."""
         caps = self.store.caps
         if len(caps) == 0:
             return self.config.scan_chunk
+        max_cap = int(caps.max())
         cache = getattr(self, "_eff_chunk_cache", None)
-        if cache is not None and cache[0] is caps:
-            return cache[1]
+        if cache is not None and cache[0] is caps and cache[1] == max_cap:
+            return cache[2]
         nf = self.config.scan_fold_lanes
         p95 = int(np.percentile(caps, 95))
         eff = max(nf, min(self.config.scan_chunk,
                           ((p95 + nf - 1) // nf) * nf))
-        self._eff_chunk_cache = (caps, eff)
+        self._eff_chunk_cache = (caps, max_cap, eff)
         return eff
 
     def _gather_plan(self) -> Tuple[int, bool]:
@@ -650,10 +661,11 @@ class IVFADCIndex:
             raise AssertionError(
                 f"Wrong point dimension {point.shape}, expected ({self.dim},)")
         bits = DTYPE_TO_BITS[self.config.index_dtype]
-        if len(self) >= (1 << bits):
+        cap = min(1 << bits, DEVICE_ID_CAP)   # int32 device-id representation
+        if len(self) >= cap:
             raise AssertionError(
                 f"Index is full for dtype {self.config.index_dtype} "
-                f"({1 << bits} vectors)")  # /root/reference/src/utils.jl:134-135
+                f"({cap} vectors)")  # /root/reference/src/utils.jl:134-135
 
     def push(self, point) -> None:
         """Append with id = n (reference push!, /root/reference/src/utils.jl:114)."""
@@ -672,10 +684,11 @@ class IVFADCIndex:
             raise AssertionError(
                 f"push_batch expects (B, {self.dim}) points, got {points.shape}")
         bits = DTYPE_TO_BITS[self.config.index_dtype]
-        if len(self) + len(points) > (1 << bits):
+        cap = min(1 << bits, DEVICE_ID_CAP)   # int32 device-id representation
+        if len(self) + len(points) > cap:
             raise AssertionError(
                 f"Index would exceed capacity for dtype "
-                f"{self.config.index_dtype} ({1 << bits} vectors)")
+                f"{self.config.index_dtype} ({cap} vectors)")
         q = jnp.asarray(points)
         cells, _ = self.coarse.search(q, 1)
         cells = np.asarray(cells)[:, 0]
@@ -739,7 +752,11 @@ class IVFADCIndex:
     def reconstruct(self, ext_id: int) -> np.ndarray:
         """Decode the stored approximation of a point (non-destructive)."""
         cell, slot = self.store.find(int(ext_id))
-        return self._reconstruct_from(cell, self.store.codes[slot].copy())
+        # _code_rows fetches just this row — the .codes property would
+        # hydrate the whole flat array from device (~10 s at SIFT1M shape
+        # on a ~1 MB/s-D2H tunnel) for one reconstruction
+        row = self.store._code_rows(np.asarray([slot]))[0]
+        return self._reconstruct_from(cell, row.copy())
 
     # ------------------------------------------------------------- inspection
     def __len__(self) -> int:
@@ -787,15 +804,17 @@ class IVFADCIndex:
                 "p95": int(np.percentile(live, 95)) if live.size else 0,
                 "max": int(sizes.max(initial=0)),
             },
-            "coarse_bytes": int(np.asarray(self.coarse.centroids).nbytes),
-            "codebook_bytes": int(
-                np.asarray(self.quantizer.codebooks).nbytes),
+            # .nbytes on the array objects directly — np.asarray on a
+            # device array would D2H-copy a (possibly huge) table just to
+            # read a size
+            "coarse_bytes": int(self.coarse.centroids.nbytes),
+            "codebook_bytes": int(self.quantizer.codebooks.nbytes),
         }
         if getattr(self.coarse, "kind", "") == "two_level":
             out["coarse_bytes"] += int(
-                np.asarray(self.coarse.cent_scan).nbytes
-                + np.asarray(self.coarse.group_centers).nbytes
-                + np.asarray(self.coarse.members).nbytes)
+                self.coarse.cent_scan.nbytes
+                + self.coarse.group_centers.nbytes
+                + self.coarse.members.nbytes)
         dev = st._device_dense
         if dev is not None:
             dec = dev.get("decoded")

@@ -179,6 +179,8 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                                         (q_b.shape[0], w, q_b.shape[1]))
                 base = jax.vmap(metric.pairwise)(q_b[:, None, :],
                                                  cent)[:, 0, :]
+            # padded probes (two-level coarse, dist inf) must stay dead
+            base = jnp.where(jnp.isfinite(cdists), base, jnp.inf)
             dq = rot_l.shape[0]
             if vecs.shape[-1] != dq:    # ragged-subspace zero padding
                 vecs = jnp.pad(vecs,

@@ -168,3 +168,25 @@ def test_search_stream_matches_padded(random_data):
     np.testing.assert_array_equal(ids_s, ids_p)
     np.testing.assert_allclose(d_s, d_p, rtol=1e-6)
     assert stats.queries == 40 and stats.qps > 0
+
+
+def test_two_level_padded_probes_no_duplicates():
+    """When w exceeds the two-level quantizer's candidate supply, the
+    padded probes (cell 0, dist inf) must stay dead. In score modes whose
+    per-probe base is recomputed (pure / inner_product) a finite base
+    would re-scan cell 0 once per padded probe and duplicate its
+    neighbors in the top-k."""
+    from ivfadc_tpu import IVFADCIndex
+    rng = np.random.RandomState(0)
+    data = rng.rand(120, 16).astype(np.float32)
+    for metric_kw in (dict(score_mode="pure"),
+                      dict(quantization_metric="inner_product",
+                           coarse_metric="sqeuclidean")):
+        idx = IVFADCIndex.build(
+            data, kc=6, m=4, k=16, coarse_quantizer="two_level",
+            coarse_n_groups=3, coarse_probe_groups=1, **metric_kw)
+        # candidate supply = gp * gmax = 1 * ceil(6/3)-ish < w=6
+        ids, dists = idx.search_padded(data[:16], 10, w=6)
+        for row in ids:
+            live = row[row >= 0]
+            assert len(live) == len(set(live.tolist())), row
