@@ -23,7 +23,6 @@ to SqEuclidean so the default behavior is identical.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

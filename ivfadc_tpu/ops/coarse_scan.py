@@ -263,14 +263,15 @@ def coarse_probe_vbase(queries, centroids, w: int, rotation,
     if apply_rot and rotation.shape[0] != d:
         return None                 # ragged-subspace padding: fallback
     # resident VMEM budget: the score table + (v2) the bf16 hi/lo pair,
-    # which together weigh one more f32 table
+    # which together weigh one more f32 table. The per-block budget must
+    # also cover the EMITTED (bp, w, d) bf16 v block (double-buffered ->
+    # bp*w*d f32-equivalents): a legal-looking large-w/d shape would
+    # otherwise pass the gate and crash Mosaic's VMEM allocation instead
+    # of honoring the documented None-fallback contract.
     resident = kc * d * (2 if engine == "v2" else 1)
-    bp = 8
-    while bp < 64 and B % (bp * 2) == 0 and \
-            (bp * 2) * kc + resident <= _MAX_RESIDENT_ELEMS:
-        bp *= 2
+    bp = _pick_bp(B, kc + w * d, resident)
     if (d % _LANE != 0 or B % bp != 0 or kc % _LANE != 0 or w > 128
-            or w > kc or bp * kc + resident > _MAX_RESIDENT_ELEMS):
+            or w > kc or bp * (kc + w * d) + resident > _MAX_RESIDENT_ELEMS):
         return None
     q32 = queries.astype(jnp.float32)
     c32 = centroids.astype(jnp.float32)
@@ -305,6 +306,18 @@ def coarse_probe_vbase(queries, centroids, w: int, rotation,
 _MAX_RESIDENT_ELEMS = 2 * 1024 * 1024
 
 
+def _pick_bp(B: int, per_row: int, resident: int) -> int:
+    """Grow the query-block height while the per-block VMEM footprint
+    (bp * per_row f32-equivalents, on top of the `resident` tables) stays
+    inside the budget. Shared by both fused coarse kernels so the policy
+    cannot drift between them."""
+    bp = 8
+    while bp < 64 and B % (bp * 2) == 0 and \
+            (bp * 2) * per_row + resident <= _MAX_RESIDENT_ELEMS:
+        bp *= 2
+    return bp
+
+
 def coarse_topw(queries, centroids, w: int, *, interpret: bool | None = None):
     """Exact brute-force (squared-euclidean) top-w cells without
     materializing the (B, kc) matrix. queries (B, d) f32, centroids (kc, d)
@@ -316,10 +329,7 @@ def coarse_topw(queries, centroids, w: int, *, interpret: bool | None = None):
         interpret = jax.default_backend() != "tpu"
     B, d = queries.shape
     kc = centroids.shape[0]
-    bp = 8
-    while bp < 64 and B % (bp * 2) == 0 and \
-            (bp * 2) * kc + kc * d <= _MAX_RESIDENT_ELEMS:
-        bp *= 2
+    bp = _pick_bp(B, kc, kc * d)
     d_ok = d % _LANE == 0
     if (not d_ok or B % bp != 0 or kc % _LANE != 0 or w > 128 or w > kc
             or bp * kc + kc * d > _MAX_RESIDENT_ELEMS):

@@ -108,8 +108,9 @@ def _assign_pass(x_blocks, mask_blocks, centers, metric: Metric):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "maxiter", "block", "metric"))
-def _kmeans_impl(key, x, k: int, maxiter: int, block: int, metric: Metric,
+def _kmeans_impl(x, k: int, maxiter: int, block: int, metric: Metric,
                  init_centers):
+    """Deterministic Lloyd iterations — all randomness lives in seeding."""
     n, d = x.shape
     x = x.astype(jnp.float32)
     x_blocks, mask_blocks = _pad_blocks(x, block)
@@ -183,6 +184,6 @@ def kmeans(key: jax.Array, x: jax.Array, k: int, *,
     else:
         raise ValueError(f"unknown init {init!r}")
 
-    centers, assignments = _kmeans_impl(key, x, k, maxiter, block, metric,
+    centers, assignments = _kmeans_impl(x, k, maxiter, block, metric,
                                         init_centers)
     return KMeansResult(centers, assignments)

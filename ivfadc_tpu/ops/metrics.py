@@ -72,6 +72,11 @@ SQEUCLIDEAN = Metric("sqeuclidean", _sqeuclidean_pairwise, _identity, additive=T
 # ADC sum stays additive and the user sees true euclidean distances.
 EUCLIDEAN = Metric("euclidean", _sqeuclidean_pairwise,
                    lambda d: jnp.sqrt(jnp.maximum(d, 0.0)), additive=True)
+# cityblock stays trainable for parity with the reference: Clustering.jl's
+# kmeans likewise assigns under the given metric but updates centroids by
+# MEAN (the L1 minimizer would be the per-coordinate median), so a
+# cityblock coarse build behaves identically here and there — a heuristic,
+# not a converging L1 k-means.
 CITYBLOCK = Metric("cityblock", _cityblock_pairwise, _identity, additive=True)
 INNER_PRODUCT = Metric("inner_product", _inner_product_pairwise, _identity,
                        additive=True, trainable=False, residual_based=False)

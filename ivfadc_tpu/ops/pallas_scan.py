@@ -437,6 +437,11 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
     w*extract_k candidates.
     """
     emit_ids = ids2d is not None
+    # int8 position outputs need (pb, nf) blocks of at least Mosaic's
+    # (32, 128) int8 tile — same constraint that removed pos8 from
+    # dense_scan. Silently fall back to i32 positions below that (pos8 is
+    # an output-traffic optimization, not a semantic switch).
+    pos8 = pos8 and pb >= 32
     if extract_k:
         assert emit_ids and 2 * extract_k <= _CAND, (extract_k, emit_ids)
     if emit_ids:

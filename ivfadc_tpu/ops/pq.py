@@ -81,7 +81,7 @@ def _train_codebooks(key, subspaces, k, maxiter, metric, block):
 
     def train_one(kk, xs):
         res = kmeans_ops._kmeans_impl(
-            kk, xs, k, maxiter, block,
+            xs, k, maxiter, block,
             metric, kmeans_ops.kmeans_plus_plus(kk, xs, k, metric))
         return res[0]
 
@@ -178,7 +178,9 @@ def encode(pq: ProductQuantizer, residuals: jax.Array,
     n = residuals.shape[0]
     apply_rot = pq.method == "opq"
     outs = []
-    for start in range(0, n, block):
+    # max(n, 1): an empty batch must encode to an empty (0, m) array, not
+    # crash jnp.concatenate (same guard as decode_rotated below)
+    for start in range(0, max(n, 1), block):
         chunk = residuals[start:start + block]
         outs.append(_encode_impl(pq.codebooks, pq.rotation, chunk, metric,
                                  apply_rot))

@@ -121,3 +121,16 @@ def test_ragged_subspaces_m_not_dividing_d():
             assert (a == b).all()
         finally:
             os.unlink(path)
+
+
+def test_encode_empty_batch():
+    """encode of zero residuals returns an empty (0, m) code array (the
+    push_batch no-op path), matching decode_rotated's empty guard."""
+    import jax.numpy as jnp
+    from ivfadc_tpu.ops import pq as pq_ops
+    rng = np.random.RandomState(0)
+    pq = pq_ops.train_quantizer(jax.random.PRNGKey(0),
+                                jnp.asarray(rng.randn(200, 16),
+                                            jnp.float32), m=4, k=8)
+    codes = pq_ops.encode(pq, jnp.zeros((0, 16), jnp.float32))
+    assert codes.shape == (0, 4)
