@@ -147,3 +147,20 @@ def test_readers_feed_index_end_to_end(tmp_path):
         for f, g in zip(ids, gt_r)])
     assert in_top20 > 0.9, in_top20
     assert recall_at_r(ids, gt_r, 5) > 0.4  # sanity floor on strict recall
+
+
+def test_sample_indices_distinct_sorted():
+    """sample_indices: `size` distinct sorted draws in [0, n), across the
+    rejection-sampling path (size << n), the permutation fallback
+    (size > n/2), and the size >= n identity."""
+    from ivfadc_tpu.utils.datasets import sample_indices
+    for n, size in ((100_000, 512), (100, 70), (50, 50), (50, 80)):
+        out = sample_indices(seed=3, n=n, size=size)
+        assert out.size == min(size, n)
+        assert np.unique(out).size == out.size          # distinct
+        assert (np.sort(out) == out).all()              # sorted
+        assert out.min() >= 0 and out.max() < n
+    # deterministic under the same seed
+    a = sample_indices(7, 10_000, 128)
+    b = sample_indices(7, 10_000, 128)
+    np.testing.assert_array_equal(a, b)

@@ -109,3 +109,20 @@ def test_memory_stats(random_data):
     idx.search(np.asarray(random_data[0], np.float32), 2, w=2)
     s2 = idx.memory_stats()
     assert "device_lut_bytes" in s2 or "device_scan_cache_bytes" in s2
+
+
+def test_probe_stats(random_data):
+    """probe_stats reports the SURVEY §5 observability counters with
+    internally consistent values (postings <= padded slots, selectivity =
+    postings/n, nprobe clamped to kc)."""
+    from ivfadc_tpu.utils.profiling import probe_stats
+    index = build_random_index(random_data, kc=16, m=2, k=16)
+    stats = probe_stats(index, random_data[:8], w=4)
+    assert stats["nprobe"] == 4.0
+    assert 0 < stats["scanned_postings_per_query"] <= \
+        stats["scanned_slots_per_query"]
+    assert np.isclose(stats["scan_selectivity"],
+                      stats["scanned_postings_per_query"] / len(index))
+    assert stats["max_cell_in_probe"] <= max(1, len(index))
+    # w beyond kc clamps rather than crashing (reference w-clamp parity)
+    assert probe_stats(index, random_data[:4], w=999)["nprobe"] == 16.0
