@@ -43,6 +43,15 @@ def test_gist_shape_high_dim():
     same = np.mean([len(set(a.tolist()) & set(b.tolist())) / 5
                     for a, b in zip(ids, ids2)])
     assert same > 0.9, (ids, ids2)
+    # the other BASELINE GIST code size, m=32 (dsub=30): finer codes must
+    # not lose the self-neighbor and should beat/equal m=16 on recall
+    idx32 = IVFADCIndex.build(base, kc=32, k=64, m=32, seed=0,
+                              coarse_maxiter=6, quantization_maxiter=6)
+    assert idx32.quantizer.dsub == 30
+    ids32, _ = idx32.search_padded(q, 5, w=4)
+    hits32 = np.mean([i in set(row.tolist())
+                      for i, row in zip(range(8), ids32)])
+    assert hits32 >= hits, (hits32, hits)
 
 
 def test_push_batch():
