@@ -396,3 +396,42 @@ def test_dispatch_accepts_device_queries(base_index):
     ids_d, d_d = sidx.search_padded(jnp.asarray(q), 10, w=4)
     np.testing.assert_array_equal(ids_h, ids_d)
     np.testing.assert_allclose(d_h, d_d, rtol=1e-6)
+
+
+def test_sharded_refresh_fuzz(random_data):
+    """Randomized dynamic workload against the sharded view: after every
+    refresh(), sharded search must agree with the single-chip index AND
+    with a from-scratch re-partition of the same base — whichever refresh
+    path (incremental or full) each round happened to take."""
+    from tests.conftest import build_random_index
+    rng = np.random.RandomState(77)
+    idx = build_random_index(random_data)
+    mesh = make_mesh(n_shards=4, n_data=2)
+    sidx = ShardedIVFADCIndex(idx, mesh)
+    q = np.asarray(random_data[:8], np.float32)
+    paths = set()
+    for round_ in range(6):
+        for _ in range(rng.randint(1, 4)):
+            op = rng.randint(0, 4)
+            if op == 0:
+                idx.push_batch(rng.rand(rng.randint(1, 9), 10)
+                               .astype(np.float32))
+            elif op == 1 and len(idx) > 8:
+                live = len(idx)
+                dels = sorted(set(rng.randint(0, live, 3).tolist()))
+                idx.delete(dels)
+            elif op == 2:
+                idx.push_front(rng.rand(10).astype(np.float32))
+            elif op == 3 and len(idx) > 8:
+                idx.pop() if rng.rand() < 0.5 else idx.pop_front()
+        sidx.refresh()
+        paths.add(sidx._last_refresh)
+        ids_s, d_s = sidx.search_padded(q, 5, w=6)
+        fresh = ShardedIVFADCIndex(idx, mesh)
+        ids_f, d_f = fresh.search_padded(q, 5, w=6)
+        np.testing.assert_array_equal(ids_s, ids_f, err_msg=f"round {round_}")
+        np.testing.assert_allclose(d_s, d_f, rtol=1e-6)
+        ids_1, _ = idx.search_padded(q, 5, w=6)
+        for a, b in zip(ids_s, ids_1):
+            assert set(a[a >= 0]) == set(b[b >= 0]), round_
+    assert "incremental" in paths, paths   # the cheap path actually ran
