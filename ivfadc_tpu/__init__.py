@@ -12,6 +12,7 @@ from ivfadc_tpu.config import IVFADCConfig
 from ivfadc_tpu.models.index import IVFADCIndex
 from ivfadc_tpu.ops.metrics import Metric, get_metric, register_metric
 from ivfadc_tpu.ops.pq import ProductQuantizer
+from ivfadc_tpu.serving import BatchingSearcher
 
 __version__ = "0.3.0"
 
@@ -37,7 +38,7 @@ def load_ivfadc_index(path: str) -> IVFADCIndex:
 
 
 __all__ = [
-    "IVFADCConfig", "IVFADCIndex", "Metric", "ProductQuantizer",
-    "get_metric", "register_metric", "knn_search", "delete_from_index",
-    "save_ivfadc_index", "load_ivfadc_index",
+    "BatchingSearcher", "IVFADCConfig", "IVFADCIndex", "Metric",
+    "ProductQuantizer", "get_metric", "register_metric", "knn_search",
+    "delete_from_index", "save_ivfadc_index", "load_ivfadc_index",
 ]

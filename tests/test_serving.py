@@ -1,0 +1,93 @@
+"""Request-coalescing serving frontend (ivfadc_tpu/serving.py)."""
+
+import numpy as np
+import pytest
+
+from ivfadc_tpu.serving import BatchingSearcher
+from tests.conftest import build_random_index
+
+
+@pytest.fixture(scope="module")
+def served_index():
+    rng = np.random.RandomState(0)
+    data = rng.rand(400, 10).astype(np.float32)
+    return data, build_random_index(data)
+
+
+def test_results_match_direct_search(served_index):
+    data, idx = served_index
+    with BatchingSearcher(idx, max_batch=64, max_wait_ms=5) as s:
+        futs = [s.submit(data[i], 5, w=4) for i in range(32)]
+        got = [f.result(timeout=30) for f in futs]
+    ids_d, dists_d = idx.search_padded(data[:32], 5, w=4)
+    for i, (gi, gd) in enumerate(got):
+        np.testing.assert_array_equal(gi, ids_d[i])
+        np.testing.assert_allclose(gd, dists_d[i], rtol=1e-6)
+
+
+def test_requests_coalesce_into_shared_dispatches(served_index):
+    data, idx = served_index
+    with BatchingSearcher(idx, max_batch=256, max_wait_ms=200) as s:
+        futs = [s.submit(data[i], 3, w=2) for i in range(64)]
+        for f in futs:
+            f.result(timeout=30)
+        assert s.stats.queries == 64
+        # 64 near-simultaneous requests must share dispatches, not go 1:1
+        assert s.stats.batches <= 4, s.stats.batches
+
+
+def test_mixed_k_w_groups_resolve_independently(served_index):
+    data, idx = served_index
+    with BatchingSearcher(idx, max_batch=32, max_wait_ms=5) as s:
+        f1 = s.submit(data[0], 3, w=1)
+        f2 = s.submit(data[1], 7, w=4)
+        f3 = s.submit(data[2], 3, w=1)
+        (i1, _), (i2, _), (i3, _) = (f.result(timeout=30)
+                                     for f in (f1, f2, f3))
+    assert i1.shape == (3,) and i3.shape == (3,)
+    assert i2.shape == (7,)
+    ids_d, _ = idx.search_padded(data[1:2], 7, w=4)
+    np.testing.assert_array_equal(i2, ids_d[0])
+
+
+def test_array_submissions_and_max_batch_splitting(served_index):
+    data, idx = served_index
+    # max_batch=8 forces the 3 x 6-row submissions across >= 3 dispatches,
+    # with whole requests never split
+    with BatchingSearcher(idx, max_batch=8, max_wait_ms=1) as s:
+        futs = [s.submit(data[j * 6:(j + 1) * 6], 4, w=3) for j in range(3)]
+        got = [f.result(timeout=30) for f in futs]
+    ids_d, _ = idx.search_padded(data[:18], 4, w=3)
+    for j, (gi, gd) in enumerate(got):
+        assert gi.shape == (6, 4)
+        np.testing.assert_array_equal(gi, ids_d[j * 6:(j + 1) * 6])
+
+
+def test_submit_validation_and_closed_searcher(served_index):
+    data, idx = served_index
+    s = BatchingSearcher(idx, max_wait_ms=1)
+    with pytest.raises(AssertionError):
+        s.submit(np.zeros(3, np.float32), 5)      # wrong dim
+    s.close()
+    with pytest.raises(RuntimeError):
+        s.submit(data[0], 5)
+
+
+def test_dispatch_exception_propagates_to_futures(served_index):
+    data, idx = served_index
+    with BatchingSearcher(idx, max_wait_ms=1) as s:
+        fut = s.submit(data[0], 0, w=1)           # k=0: search-path assert
+        with pytest.raises(Exception):
+            fut.result(timeout=30)
+
+
+def test_close_without_drain_fails_pending(served_index):
+    data, idx = served_index
+    s = BatchingSearcher(idx, max_batch=4096, max_wait_ms=60_000)
+    futs = [s.submit(data[i], 3, w=1) for i in range(4)]
+    s.close(drain=False)
+    failed = sum(1 for f in futs
+                 if isinstance(f.exception(timeout=5), RuntimeError))
+    # the flusher may have raced a dispatch in before close(); every future
+    # must still be resolved one way or the other
+    assert failed == 4 or all(f.done() for f in futs)
