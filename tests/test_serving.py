@@ -91,3 +91,19 @@ def test_close_without_drain_fails_pending(served_index):
     # the flusher may have raced a dispatch in before close(); every future
     # must still be resolved one way or the other
     assert failed == 4 or all(f.done() for f in futs)
+
+
+def test_serving_over_sharded_index(served_index):
+    """BatchingSearcher drives a ShardedIVFADCIndex the same way (the docs
+    promise this); results match the sharded index's own search_padded."""
+    from ivfadc_tpu.parallel.mesh import make_mesh
+    from ivfadc_tpu.parallel.sharded import ShardedIVFADCIndex
+    data, idx = served_index
+    sidx = ShardedIVFADCIndex(idx, make_mesh(n_shards=4, n_data=2))
+    with BatchingSearcher(sidx, max_batch=64, max_wait_ms=5) as s:
+        futs = [s.submit(data[i], 5, w=4) for i in range(16)]
+        got = [f.result(timeout=60) for f in futs]
+    ids_d, dists_d = sidx.search_padded(data[:16], 5, w=4)
+    for i, (gi, gd) in enumerate(got):
+        np.testing.assert_array_equal(gi, ids_d[i])
+        np.testing.assert_allclose(gd, dists_d[i], rtol=1e-6)
