@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Serving-layer benchmark: request-coalescing vs direct dispatch.
+
+Measures, on the current backend:
+  1. closed-loop p50/p99 single-request latency through BatchingSearcher
+     (client thread waits for each result) vs direct search_padded(B=1);
+  2. open-loop throughput with C concurrent client threads submitting
+     back-to-back — how many requests/s the coalescer sustains and how
+     large its dispatched batches actually get.
+
+Sizes shrink automatically on CPU. Env: IVFADC_SERVE_N, IVFADC_SERVE_CLIENTS.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".cache", "jax_compile"))
+
+
+def main():
+    import jax
+
+    from ivfadc_tpu import IVFADCIndex, BatchingSearcher
+    from ivfadc_tpu.utils.datasets import synthetic_clustered_device
+
+    on_accel = jax.default_backend() != "cpu"
+    n = int(os.environ.get("IVFADC_SERVE_N", 1_000_000 if on_accel else 50_000))
+    clients = int(os.environ.get("IVFADC_SERVE_CLIENTS", 16))
+    k, w, kc, m = 10, 8, 1024 if on_accel else 64, 8
+    d = 128
+
+    base = synthetic_clustered_device(n, d, seed=0)
+    index = IVFADCIndex.build(base, kc=kc, k=256, m=m, seed=0,
+                              kmeanspp_sample=min(n, 65536))
+    rng = np.random.RandomState(1)
+    queries = rng.randn(4096, d).astype(np.float32)
+    index.search_padded(queries[:1], k, w)            # warm compile (B=1)
+    index.search_padded(queries[:8], k, w)
+
+    # 1. closed-loop single-request latency
+    def p50_p99(samples):
+        return (float(np.percentile(samples, 50) * 1e3),
+                float(np.percentile(samples, 99) * 1e3))
+
+    direct = []
+    for i in range(50):
+        t0 = time.perf_counter()
+        index.search_padded(queries[i:i + 1], k, w)
+        direct.append(time.perf_counter() - t0)
+
+    with BatchingSearcher(index, max_batch=256, max_wait_ms=1.0) as s:
+        served = []
+        for i in range(50):
+            t0 = time.perf_counter()
+            s.search(queries[50 + i], k, w)
+            served.append(time.perf_counter() - t0)
+    d50, d99 = p50_p99(direct)
+    s50, s99 = p50_p99(served)
+    print(f"closed-loop B=1 ms: direct p50={d50:.2f} p99={d99:.2f} | "
+          f"coalesced p50={s50:.2f} p99={s99:.2f}")
+
+    # 2. open-loop: C clients hammer the searcher for a fixed request count
+    per_client = 2048 // clients if on_accel else 256 // clients
+    with BatchingSearcher(index, max_batch=1024, max_wait_ms=2.0) as s:
+        lat = [[] for _ in range(clients)]
+
+        def client(c):
+            for i in range(per_client):
+                t0 = time.perf_counter()
+                s.search(queries[(c * per_client + i) % len(queries)], k, w)
+                lat[c].append(time.perf_counter() - t0)
+
+        ts = [threading.Thread(target=client, args=(c,))
+              for c in range(clients)]
+        t0 = time.perf_counter()
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        wall = time.perf_counter() - t0
+        total = clients * per_client
+        all_lat = np.concatenate(lat)
+        l50, l99 = p50_p99(all_lat)
+        print(f"open-loop: {total} reqs / {clients} clients in {wall:.2f}s = "
+              f"{total / wall:.0f} req/s; per-req p50={l50:.2f}ms "
+              f"p99={l99:.2f}ms; dispatches={s.stats.batches} "
+              f"(mean batch {s.stats.queries / max(1, s.stats.batches):.1f})")
+    print("RESULT",
+          {"direct_b1_p50_ms": round(d50, 2),
+           "coalesced_b1_p50_ms": round(s50, 2),
+           "open_loop_req_s": round(total / wall, 1),
+           "open_loop_p50_ms": round(l50, 2),
+           "mean_dispatch_batch":
+               round(s.stats.queries / max(1, s.stats.batches), 1),
+           "clients": clients, "n": n,
+           "backend": jax.default_backend()})
+
+
+if __name__ == "__main__":
+    main()

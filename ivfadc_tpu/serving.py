@@ -13,8 +13,10 @@ when either `max_batch` queries are waiting or the oldest request has
 waited `max_wait_ms`. Latency/throughput trade-off is explicit: max_wait
 bounds added latency, max_batch bounds per-dispatch work.
 
-Single-process, thread-safe. JAX dispatch happens only on the flusher
-thread, so no cross-thread tracing hazards.
+Single-process, thread-safe for SEARCH. Dynamic index mutations
+(push/delete/pop) are not synchronized against in-flight dispatches — like
+the single-threaded reference, interleave them from the serving thread's
+point of view (quiesce or lock externally around mutation bursts).
 """
 
 from __future__ import annotations
