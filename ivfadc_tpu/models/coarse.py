@@ -56,6 +56,11 @@ class NaiveCoarseQuantizer:
     def dim(self) -> int:
         return self.centroids.shape[1]
 
+    def __repr__(self) -> str:
+        # reference show parity (/root/reference/src/coarsequantizers.jl:22-25)
+        return (f"NaiveCoarseQuantizer({self.metric.name}), "
+                f"{self.dim}×{self.kc} cluster centres")
+
     def search(self, queries: jax.Array, w: int, *, extract: bool = False,
                rank_engine: str | None = None
                ) -> Tuple[jax.Array, jax.Array]:
@@ -163,6 +168,13 @@ class TwoLevelCoarseQuantizer:
     @property
     def dim(self) -> int:
         return self.centroids.shape[1]
+
+    def __repr__(self) -> str:
+        # reference show parity (/root/reference/src/coarsequantizers.jl:62-65)
+        return (f"TwoLevelCoarseQuantizer({self.metric.name}), "
+                f"{self.dim}×{self.kc} cluster centres in "
+                f"{self.group_centers.shape[0]} groups "
+                f"(gp={self.n_probe_groups})")
 
     def search(self, queries: jax.Array, w: int, *, extract: bool = False,
                rank_engine: str | None = None

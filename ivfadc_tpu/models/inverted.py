@@ -142,6 +142,13 @@ class PostingStore:
         layout/histogram exists but codes/ids live sharded on the mesh."""
         return not (self._codes_h is None and self._codes_dev is None)
 
+    def __repr__(self) -> str:
+        # InvertedList show parity (/root/reference/src/index.jl:12-15),
+        # for the whole flat store; never hydrates device arrays
+        return (f"PostingStore({self.kc} cells, m={self.m}, "
+                f"{self.code_dtype.name} codes), {int(self.sizes.sum())} "
+                f"vectors" + ("" if self.has_payload else " [metadata-only]"))
+
     @property
     def codes(self) -> np.ndarray:
         if self._codes_h is None:

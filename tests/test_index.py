@@ -126,3 +126,18 @@ def test_probe_stats(random_data):
     assert stats["max_cell_in_probe"] <= max(1, len(index))
     # w beyond kc clamps rather than crashing (reference w-clamp parity)
     assert probe_stats(index, random_data[:4], w=999)["nprobe"] == 16.0
+
+
+def test_repr_parity_subobjects(random_data):
+    """The reference `show`s InvertedList and both coarse quantizers
+    (src/index.jl:12-15, src/coarsequantizers.jl:22-25,62-65); our
+    equivalents expose the same at-a-glance facts, without hydrating."""
+    idx = build_random_index(random_data, kc=16, m=2, k=16)
+    r = repr(idx.store)
+    assert "16 cells" in r and f"{len(idx)} vectors" in r
+    r = repr(idx.coarse)
+    assert "NaiveCoarseQuantizer" in r and "10×16" in r
+    two = IVFADCIndex.build(random_data, kc=16, m=2, k=16, seed=0,
+                            coarse_quantizer="hnsw")
+    assert "TwoLevelCoarseQuantizer" in repr(two.coarse)
+    assert "groups" in repr(two.coarse)
