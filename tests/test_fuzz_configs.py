@@ -91,3 +91,26 @@ def test_random_config_build_search(trial):
     for i in range(len(queries)):
         _agree_up_to_boundary_ties(ids_d[i], dist_d[i], ids_l[i], dist_l[i], (trial, c, i))
         _agree_up_to_boundary_ties(ids_l[i], dist_l[i], ids_d[i], dist_d[i], (trial, c, i))
+
+
+@pytest.mark.parametrize("w", [64, 128])
+def test_large_w_times_d_takes_fallback_not_crash(w):
+    """Regression for the fused coarse probe's VMEM gate: at large w*d the
+    emitted (bp, w, d) v block must push the kernel to its documented
+    None-fallback (XLA path) instead of a Mosaic VMEM crash; results must
+    stay correct (every returned id valid, ascending distances)."""
+    rng = np.random.RandomState(3)
+    d, kc, n = 256, 128, 600
+    data = rng.randn(n, d).astype(np.float32)
+    idx = IVFADCIndex.build(data, kc=kc, k=32, m=8, seed=0,
+                            coarse_maxiter=4, quantization_maxiter=4,
+                            scan_mode="dense")
+    ids, dists = idx.search_padded(data[:4], 10, w=w)
+    live = ids >= 0
+    assert live.any()
+    assert ids[live].max() < n and ids[live].min() >= 0
+    for i in range(4):
+        dd = dists[i][ids[i] >= 0]
+        assert (np.diff(dd) >= -1e-4).all()
+    # self-neighbors: each query is a base row
+    assert (ids[:, 0] == np.arange(4)).mean() >= 0.75
