@@ -47,13 +47,19 @@ class BatchingSearcher:
                   `search_padded(queries, k, w)` and `.dim`).
     max_batch:    flush a (k, w) group once this many queries are pending.
     max_wait_ms:  flush once the group's oldest request has waited this long.
+    pipeline:     dispatches resolved concurrently. `search_padded` blocks
+                  on the device->host pull, so with pipeline=1 each flush
+                  would serialize behind the previous batch's fetch; a small
+                  pool lets wave i+1 dispatch while wave i drains (bounded —
+                  it also caps in-flight device work).
     stats:        optional SearchStats to record (queries, seconds) into.
     """
 
     def __init__(self, index, *, max_batch: int = 1024,
-                 max_wait_ms: float = 2.0,
+                 max_wait_ms: float = 2.0, pipeline: int = 2,
                  stats: Optional[SearchStats] = None):
-        assert max_batch >= 1 and max_wait_ms >= 0
+        assert max_batch >= 1 and max_wait_ms >= 0 and pipeline >= 1
+        from concurrent.futures import ThreadPoolExecutor
         self._index = index
         self._max_batch = max_batch
         self._max_wait = max_wait_ms / 1e3
@@ -61,6 +67,8 @@ class BatchingSearcher:
         self._lock = threading.Condition()
         self._groups: dict = {}            # (k, w) -> List[_Pending]
         self._closed = False
+        self._pool = ThreadPoolExecutor(max_workers=pipeline,
+                                        thread_name_prefix="ivfadc-dispatch")
         self._thread = threading.Thread(target=self._flusher, daemon=True,
                                         name="ivfadc-serving-flusher")
         self._thread.start()
@@ -106,6 +114,7 @@ class BatchingSearcher:
                 self._groups.clear()
             self._lock.notify()
         self._thread.join()
+        self._pool.shutdown(wait=True)
 
     def __enter__(self):
         return self
@@ -155,7 +164,9 @@ class BatchingSearcher:
                     n += p.queries.shape[0]
                 if group:
                     self._groups[key] = group
-            self._dispatch(key, take)
+            # hand off to the dispatch pool: the blocking device->host pull
+            # happens there, so the next group can flush immediately
+            self._pool.submit(self._dispatch, key, take)
 
     def _dispatch(self, key: Tuple[int, int], take: List[_Pending]) -> None:
         k, w = key

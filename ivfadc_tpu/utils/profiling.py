@@ -53,14 +53,18 @@ class SearchStats:
     """Lightweight counters a serving layer can aggregate."""
 
     def __init__(self):
+        import threading
         self.queries = 0
         self.batches = 0
         self.seconds = 0.0
+        self._lock = threading.Lock()   # serving dispatch pools record
+                                        # concurrently (serving.py)
 
     def record(self, batch: int, seconds: float):
-        self.queries += batch
-        self.batches += 1
-        self.seconds += seconds
+        with self._lock:
+            self.queries += batch
+            self.batches += 1
+            self.seconds += seconds
 
     @property
     def qps(self) -> float:
