@@ -104,10 +104,16 @@ def _rank_kernel_v2(cells_ref,        # (8, 128) i32 block (lane layout)
                     tmp,              # (128, 1) f32 scratch (fusion barrier)
                     *, kcp: int):
     """Transpose-free variant: the wrapper supplies the probe cells in BOTH
-    layouts (two cheap XLA transposes of a 0.5 MB array), so the per-group
+    layouts (one cheap XLA transpose of a 0.5 MB array), so the per-group
     MXU eye-transposes of `_rank_kernel` — its dominant cost, 2M MACs each —
     disappear. Remaining MXU work per group is one (128, kcp) x (kcp, 1)
-    matvec; everything else is VPU compares/reductions."""
+    matvec; everything else is VPU compares/reductions.
+
+    Layout note: the transposed arrays stack each grid step's (128, 8)
+    group block along SUBLANES — full array (nblk*128, 8) — because a
+    Mosaic block's last dim must be a 128-multiple or equal the array's
+    last dim (blocking the lane axis of a (128, nblk*8) array at width 8
+    fails to lower)."""
     blk = pl.program_id(0)
 
     @pl.when(blk == 0)
@@ -185,23 +191,28 @@ def cell_ranks(cells_flat, *, kc: int, interpret: bool = False,
             interpret=interpret,
         )(cells2d)
         return ranks.reshape(P_pad)[:P], counts[0, :kc].astype(jnp.int32)
-    cells2dT = cells2d.T                                  # (128, P_pad/128)
+    nblk = P_pad // _BLK
+    # per-block transpose stacked along sublanes: block b's (128, 8) group
+    # matrix lives at rows [b*128, (b+1)*128) — see the kernel's layout note
+    cells2dT = cells2d.reshape(nblk, 8, _LANE).transpose(0, 2, 1) \
+        .reshape(nblk * _LANE, 8)
     ranksT, counts = pl.pallas_call(
         functools.partial(_rank_kernel_v2, kcp=kcp),
         grid=(P_pad // _BLK,),
         in_specs=[pl.BlockSpec((8, _LANE), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((_LANE, 8), lambda b: (0, b),
+                  pl.BlockSpec((_LANE, 8), lambda b: (b, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((_LANE, 8), lambda b: (0, b),
+        out_specs=[pl.BlockSpec((_LANE, 8), lambda b: (b, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((8, kcp), lambda b: (0, 0),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((_LANE, P_pad // _LANE), jnp.int32),
+        out_shape=[jax.ShapeDtypeStruct((nblk * _LANE, 8), jnp.int32),
                    jax.ShapeDtypeStruct((8, kcp), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((1, kcp), jnp.float32),
                         pltpu.VMEM((_LANE, 1), jnp.float32)],
         interpret=interpret,
     )(cells2d, cells2dT)
-    return (ranksT.T.reshape(P_pad)[:P],
+    return (ranksT.reshape(nblk, _LANE, 8).transpose(0, 2, 1)
+            .reshape(P_pad)[:P],
             counts[0, :kc].astype(jnp.int32))
