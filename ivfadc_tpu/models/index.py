@@ -39,10 +39,11 @@ from ivfadc_tpu.utils.profiling import BuildTimer
 
 # Engine/epilogue knobs, read at every dispatch and carried as jit static
 # args, so in-process toggling (tests, A/B drivers) retraces correctly.
-# Extraction is OPT-IN (IVFADC_EXTRACT=1) until the kernel's Mosaic
-# compile is validated on real hardware; IVFADC_NO_EXTRACT=1 forces it
-# off. The v2 engines stay off by default until their TPU A/Bs run
-# (benchmarks/ab_rank.py, benchmarks/ab_coarse.py).
+# All three non-default engines LOST their hardware A/Bs (v5e, headline
+# shape) and stay opt-in: extraction 14.0 ms vs 10.7 ms off (the per-tile
+# min-extract VPU passes cost ~3 ms — more than the epilogue gather they
+# remove); rank v2 2.08 ms vs 1.06 (ab_rank.py); coarse v2 12.0 ms vs
+# 10.7 e2e (ab_coarse.py). The knobs remain for other shapes/runtimes.
 def _env_extract() -> bool:
     # "0"/"" mean unset for the override too — IVFADC_NO_EXTRACT=0 must
     # not silently disable extraction during an A/B

@@ -40,8 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 # the engine explicitly from their dispatch sites (models/index.py /
 # parallel/sharded.py read IVFADC_RANK_ENGINE per call and carry it as a
 # jit static arg, like IVFADC_COARSE_ENGINE); this import-time read only
-# covers direct callers that omit `engine`. "v1" until v2 is validated on
-# real hardware.
+# covers direct callers that omit `engine`. Hardware A/B (v5e, P=131072,
+# kc=1024, benchmarks/ab_rank.py): v1 1.06 ms, v2 2.08 ms — v2's
+# lane-narrow (128, 8) transposed blocks cost more in relayout than the
+# MXU eye-transposes they remove, so v1 stays the default.
 _DEFAULT_ENGINE = os.environ.get("IVFADC_RANK_ENGINE", "v1")
 
 _LANE = 128

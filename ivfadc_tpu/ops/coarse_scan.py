@@ -37,7 +37,10 @@ _LANE = 128
 #     rotation moves out of the loop (rotq once per block) and |r|^2 is not
 #     computed at all: for orthogonal rotations (PQ identity / OPQ
 #     Procrustes) |rot(q-c)|^2 == |q-c|^2, which the caller already has as
-#     cdists. Default v1 until the TPU A/B (benchmarks/ab_coarse.py) runs.
+#     cdists. Hardware A/B (v5e, B=16384, kc=1024, benchmarks/ab_coarse.py
+#     --e2e): v1 10.7 ms / v2 12.0 ms full search — the extra bf16 hi/lo
+#     tables double the resident VMEM and halve the query-block height,
+#     costing more than the saved per-pass work. v1 stays the default.
 _DEFAULT_ENGINE = os.environ.get("IVFADC_COARSE_ENGINE", "v1")
 
 
