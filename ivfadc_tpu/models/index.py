@@ -461,6 +461,12 @@ class IVFADCIndex:
             # round trip (a stray np.asarray here would force a D2H transfer,
             # which on some runtimes costs far more than the search itself)
             q = queries
+        elif isinstance(queries, jax.Array):
+            # device-resident but off-bucket (e.g. B=1 single-query): pad ON
+            # DEVICE — np.pad would first fetch the array to host, costing a
+            # full RPC round trip per call on tunneled runtimes (measured
+            # ~30 ms of the 49 ms B=1 p50)
+            q = jnp.pad(queries.astype(jnp.float32), ((0, Bp - B), (0, 0)))
         else:
             q = jnp.asarray(
                 np.pad(np.asarray(queries, np.float32), ((0, Bp - B), (0, 0))))
