@@ -587,6 +587,80 @@ class IVFADCIndex:
                 else "lut"
         return "lut"
 
+    def autotune(self, queries, k: int = 10, w: int = 8, *,
+                 pbs: Sequence[int] = (16, 32, 64, 128),
+                 chunks: Sequence[int] = (512, 1024, 2048),
+                 merges: Sequence[str] = ("fold",),
+                 reps: int = 5, apply: bool = True) -> dict:
+        """Time the LIVE index's dense search under candidate kernel
+        parameters (scan_pb x scan_chunk x scan_merge) on a representative
+        query batch and apply the fastest — the offline tuning step a
+        production deployment would otherwise script by hand
+        (benchmarks/sweep_kernel.py is the subprocess-isolated equivalent).
+
+        Each candidate is a fresh jit specialization: expect one compile
+        per config (~seconds on CPU, tens of seconds on remote-compile
+        backends), so run this once at deployment, not per query. Returns
+        {"best": {...}, "results": [...], "applied": bool}; the tuned
+        values land in `self.config` (and survive `save()`, which persists
+        the config). No reference counterpart (the reference has no kernel
+        parameters); candidates that fail to compile are recorded and
+        skipped."""
+        import dataclasses as _dc
+        from ivfadc_tpu.utils.timing import roundtrip_latency, true_time
+        if self._resolve_scan_mode() != "dense":
+            return {"best": None, "results": [],
+                    "applied": False, "reason": "dense scan path inactive"}
+        queries = jnp.asarray(np.asarray(queries, np.float32))
+        if queries.ndim != 2 or queries.shape[1] != self.dim:
+            raise AssertionError(
+                f"autotune expects (B, {self.dim}) queries, "
+                f"got {queries.shape}")
+        orig = self.config
+        nf = orig.scan_fold_lanes
+        # one dense-view build with the LARGEST candidate chunk: the cached
+        # decoded array's guard padding must cover every swept chunk (the
+        # view does not rebuild when a later call asks for a bigger one)
+        max_chunk = max(list(chunks) + [orig.scan_chunk])
+        self.store.device_view_dense(self.quantizer, max_chunk,
+                                     cache=self._resolve_cache())
+        on_accel = jax.default_backend() not in ("cpu",)
+        base_lat = roundtrip_latency() if on_accel else 0.0
+        results = []
+        try:
+            for merge in merges:
+                for pb in pbs:
+                    for chunk in chunks:
+                        if chunk % nf:
+                            continue        # kernel requires nf | chunk
+                        self.config = _dc.replace(
+                            orig, scan_pb=pb, scan_chunk=chunk,
+                            scan_merge=merge)
+                        # keyed on caps identity only — must not serve a
+                        # chunk clamped for the previous candidate
+                        self.__dict__.pop("_eff_chunk_cache", None)
+                        row = {"pb": pb, "chunk": chunk, "merge": merge}
+                        try:
+                            t = true_time(
+                                lambda i: self._device_search(
+                                    queries + 1e-6 * i, k, w),
+                                reps=reps, warm=1, baseline=base_lat)
+                            row["seconds"] = float(t)
+                        except Exception as e:      # noqa: BLE001
+                            row["error"] = f"{type(e).__name__}: {e}"[:200]
+                        results.append(row)
+        finally:
+            self.config = orig
+            self.__dict__.pop("_eff_chunk_cache", None)
+        ok = [r for r in results if "seconds" in r]
+        best = min(ok, key=lambda r: r["seconds"]) if ok else None
+        if best is not None and apply:
+            self.config = _dc.replace(orig, scan_pb=best["pb"],
+                                      scan_chunk=best["chunk"],
+                                      scan_merge=best["merge"])
+        return {"best": best, "results": results,
+                "applied": best is not None and apply}
+
     def search(self, points, k: int, w: int = 1):
         """knn_search parity (/root/reference/src/index.jl:204-273).
 

@@ -190,3 +190,39 @@ def test_two_level_padded_probes_no_duplicates():
         for row in ids:
             live = row[row >= 0]
             assert len(live) == len(set(live.tolist())), row
+
+
+def test_autotune_applies_best_and_preserves_results():
+    """autotune times candidate (pb, chunk) configs on the live index,
+    applies the fastest, and the tuned index returns identical results
+    (fold winners depend on nf, not pb/chunk)."""
+    rng = np.random.RandomState(3)
+    data = rng.rand(2048, 32).astype(np.float32)
+    idx = IVFADCIndex.build(data, kc=16, m=4, k=16, seed=0,
+                            scan_mode="dense")
+    q = data[:32]
+    before_i, before_d = idx.search_padded(q, 5, w=4)
+    out = idx.autotune(q, k=5, w=4, pbs=(8, 16), chunks=(128,), reps=2)
+    assert out["applied"] and out["best"] is not None
+    assert {"pb", "chunk", "merge", "seconds"} <= set(out["best"])
+    assert idx.config.scan_pb == out["best"]["pb"]
+    assert idx.config.scan_chunk == out["best"]["chunk"]
+    after_i, after_d = idx.search_padded(q, 5, w=4)
+    np.testing.assert_array_equal(before_i, after_i)
+    np.testing.assert_allclose(before_d, after_d, rtol=1e-6)
+    # apply=False leaves the config untouched
+    cfg = idx.config
+    out2 = idx.autotune(q, k=5, w=4, pbs=(8,), chunks=(128,), reps=1,
+                        apply=False)
+    assert not out2["applied"] and idx.config is cfg
+
+
+def test_autotune_rejects_bad_queries_and_lut_mode():
+    rng = np.random.RandomState(4)
+    data = rng.rand(256, 16).astype(np.float32)
+    idx = IVFADCIndex.build(data, kc=8, m=4, k=16, scan_mode="lut")
+    out = idx.autotune(data[:8], k=3, w=2)
+    assert not out["applied"] and out["best"] is None
+    dense = IVFADCIndex.build(data, kc=8, m=4, k=16, scan_mode="dense")
+    with pytest.raises(AssertionError):
+        dense.autotune(data[0], k=3, w=2)       # 1-D queries
