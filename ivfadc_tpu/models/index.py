@@ -445,6 +445,183 @@ class IVFADCIndex:
         idx.build_timings = timer.timings
         return idx
 
+    @classmethod
+    def build_streaming(cls, chunks, config: Optional[IVFADCConfig] = None,
+                        *, train_data=None, train_sample: int = 1 << 18,
+                        **kwargs) -> "IVFADCIndex":
+        """Out-of-core build: index data that never fits in memory at once.
+
+        `chunks` is a RE-ITERABLE of (b, d) float arrays — e.g. a
+        `ivfadc_tpu.utils.datasets.VecsChunks` over TEXMEX files, or a list
+        of arrays. (A one-shot generator is rejected: two passes are needed.)
+
+        Pass 1 reservoir-samples up to `train_sample` points (uniformly over
+        the whole stream, seeded by `config.seed`) and trains the coarse
+        k-means and PQ/OPQ codebooks on the sample — or on `train_data` when
+        given, which skips pass 1 entirely. Pass 2 re-streams the chunks,
+        assigning + PQ-encoding each on device, and accumulates only the
+        (assignments, codes) pair — n * (m * codebytes + 4) bytes — before
+        one CSR layout pass. Peak host memory is one chunk of floats plus
+        the code arrays; the full float dataset is never resident.
+
+        With `train_data` equal to the concatenated stream, the result is
+        identical to `IVFADCIndex.build` on that data (same seed): the same
+        key split drives k-means and quantizer training, and per-chunk
+        encoding is row-deterministic.
+
+        No reference counterpart — the reference requires the full d x n
+        matrix in memory (/root/reference/src/index.jl:103).
+        """
+        from ivfadc_tpu.ops.kmeans import assign as kmeans_assign
+        from ivfadc_tpu.ops.kmeans import kmeans
+
+        if config is None:
+            config = IVFADCConfig(**kwargs)
+        elif kwargs:
+            raise TypeError("pass either a config or kwargs, not both")
+        cmetric = get_metric(config.coarse_metric)
+        qmetric = get_metric(config.quantization_metric)
+        key = jax.random.PRNGKey(config.seed)
+        k_coarse, k_quant, k_cq = jax.random.split(key, 3)
+        timer = BuildTimer()
+
+        # --- pass 1: reservoir sample for training (Algorithm R, vectorized
+        # per chunk: item t>=S replaces slot r~U[0,t] iff r<S — within-chunk
+        # independent draws replay the sequential algorithm exactly) ---
+        d = None
+        if train_data is None:
+            rng = np.random.RandomState(config.seed)
+            sample = None
+            seen = 0
+            with timer.phase("sample"):
+                for chunk in chunks:
+                    chunk = np.asarray(chunk)
+                    if chunk.ndim != 2:
+                        raise AssertionError(
+                            "chunks must be 2-D (b, d) arrays")
+                    if d is None:
+                        d = chunk.shape[1]
+                        sample = np.empty((train_sample, d), np.float32)
+                    elif chunk.shape[1] != d:
+                        raise AssertionError(
+                            f"chunk dim {chunk.shape[1]} != {d}")
+                    b = chunk.shape[0]
+                    fill = min(b, max(0, train_sample - seen))
+                    if fill:
+                        sample[seen:seen + fill] = chunk[:fill]
+                    if b > fill:
+                        draws = rng.randint(
+                            0, seen + fill + np.arange(b - fill) + 1)
+                        hit = draws < train_sample
+                        sample[draws[hit]] = chunk[fill:][hit]
+                    seen += b
+            if seen == 0:
+                raise AssertionError("empty chunk stream")
+            train = sample[:min(seen, train_sample)]
+        else:
+            train = np.asarray(train_data, np.float32)
+            if train.ndim != 2:
+                raise AssertionError("train_data must be 2-D (n, d)")
+            d = train.shape[1]
+        if config.k > train.shape[0]:
+            raise AssertionError(
+                f"training sample ({train.shape[0]}) must hold at least "
+                f"k={config.k} points")
+
+        # --- train coarse + quantizer on the sample (same key discipline
+        # as `build`, so train_data == full data reproduces it exactly) ---
+        with timer.phase("coarse_kmeans"):
+            xt = jnp.asarray(train, jnp.float32)
+            cres = kmeans(k_coarse, xt, config.kc,
+                          maxiter=config.coarse_maxiter, metric=cmetric,
+                          block=config.kmeans_block,
+                          pp_sample=config.kmeanspp_sample)
+            jax.block_until_ready(cres)
+        with timer.phase("train_quantizer"):
+            residuals = xt - cres.centers[cres.assignments]
+            nt = residuals.shape[0]
+            qs = config.quantization_sample
+            if qs == 0 and nt > _PQ_TRAIN_AUTOCAP:
+                qs = _PQ_TRAIN_AUTOCAP
+            train_res = residuals
+            if qs and qs < nt:
+                sel = jax.random.choice(jax.random.fold_in(k_quant, 1), nt,
+                                        (qs,), replace=False)
+                train_res = residuals[sel]
+            quantizer = pq_ops.train_quantizer(
+                k_quant, train_res, m=config.m, k=config.k,
+                method=config.quantization_method,
+                maxiter=config.quantization_maxiter, metric=qmetric,
+                opq_iters=config.opq_iters, block=config.kmeans_block)
+            del train_res, residuals, xt
+            jax.block_until_ready(quantizer.codebooks)
+
+        # --- pass 2: stream chunks through device assign + encode ---
+        enc_align = 2048             # pad chunks to a multiple: few retraces
+        centers = cres.centers
+        all_assign: List[np.ndarray] = []
+        all_codes: List[np.ndarray] = []
+        n = 0
+        data_dtype = None
+        with timer.phase("encode"):
+            for chunk in chunks:
+                chunk = np.asarray(chunk)
+                if chunk.shape[0] == 0:
+                    continue
+                if data_dtype is None:
+                    data_dtype = chunk.dtype if np.issubdtype(
+                        chunk.dtype, np.floating) else np.dtype(np.float32)
+                if chunk.shape[1] != d:
+                    raise AssertionError(f"chunk dim {chunk.shape[1]} != {d}")
+                b = chunk.shape[0]
+                bp = -(-b // enc_align) * enc_align
+                x = jnp.asarray(
+                    np.pad(np.asarray(chunk, np.float32),
+                           ((0, bp - b), (0, 0))))
+                a = kmeans_assign(x, centers, metric=cmetric,
+                                  block=config.kmeans_block)
+                codes = pq_ops.encode(quantizer, x - centers[a],
+                                      metric=qmetric)
+                all_assign.append(np.asarray(a[:b]))
+                all_codes.append(np.asarray(codes[:b]))
+                n += b
+        if train_data is None and n != seen:
+            raise AssertionError(
+                f"chunk stream yielded {seen} rows on pass 1 but {n} on "
+                f"pass 2 — build_streaming needs a re-iterable source, "
+                f"not a one-shot generator")
+        if n == 0:
+            raise AssertionError("empty chunk stream")
+        config.validate_for_data(n, d)
+
+        with timer.phase("build_lists"):
+            align = config.cell_align or (128 if config.kc <= 16384 else 8)
+            store = PostingStore.build(
+                np.concatenate(all_assign), np.concatenate(all_codes),
+                config.kc, slack=config.cell_slack, align=align)
+        with timer.phase("coarse_quantizer"):
+            coarse = make_coarse_quantizer(
+                config.coarse_quantizer, k_cq, centers, cmetric,
+                n_groups=config.coarse_n_groups,
+                n_probe_groups=config.coarse_probe_groups)
+        idx = cls(config, coarse, quantizer, store, data_dtype, d)
+        idx.build_timings = timer.timings
+        return idx
+
+    @classmethod
+    def build_from_files(cls, paths, config: Optional[IVFADCConfig] = None,
+                         *, chunk_rows: int = 262144,
+                         max_rows: Optional[int] = None,
+                         train_sample: int = 1 << 18,
+                         **kwargs) -> "IVFADCIndex":
+        """`build_streaming` over TEXMEX .fvecs/.bvecs files (multiple files
+        concatenate in order, as Deep1B's numbered parts do). Streams
+        `chunk_rows`-row chunks; the float data is never fully resident."""
+        from ivfadc_tpu.utils.datasets import VecsChunks
+        return cls.build_streaming(
+            VecsChunks(paths, chunk_rows=chunk_rows, max_rows=max_rows),
+            config, train_sample=train_sample, **kwargs)
+
     # ----------------------------------------------------------------- search
     def _device_search(self, queries: np.ndarray, k: int, w: int
                        ) -> Tuple[jax.Array, jax.Array]:

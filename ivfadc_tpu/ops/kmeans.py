@@ -187,3 +187,28 @@ def kmeans(key: jax.Array, x: jax.Array, k: int, *,
     centers, assignments = _kmeans_impl(x, k, maxiter, block, metric,
                                         init_centers)
     return KMeansResult(centers, assignments)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "metric"))
+def _assign_impl(x, centers, block: int, metric: Metric):
+    n = x.shape[0]
+    x_blocks, _ = _pad_blocks(x.astype(jnp.float32), block)
+
+    def step(_, xb):
+        dist = metric.pairwise(xb, centers)
+        return 0, jnp.argmin(dist, axis=1).astype(jnp.int32)
+
+    _, assigns = jax.lax.scan(step, 0, x_blocks)
+    return assigns.reshape(-1)[:n]
+
+
+def assign(x, centers, *, metric: Metric = SQEUCLIDEAN,
+           block: int = 16384) -> jax.Array:
+    """Nearest-center assignment only — one streamed Lloyd assignment pass
+    without the update sums. Used by the out-of-core streaming build
+    (`IVFADCIndex.build_streaming`) to place each ingest chunk against the
+    already-trained coarse centers."""
+    k = centers.shape[0]
+    block = max(256, min(block, (1 << 28) // max(k, 1)))
+    return _assign_impl(jnp.asarray(x), jnp.asarray(centers, jnp.float32),
+                        block, metric)

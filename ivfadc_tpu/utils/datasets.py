@@ -116,3 +116,80 @@ def sample_indices(seed: int, n: int, size: int) -> np.ndarray:
         out = np.unique(np.concatenate(
             [out, rng.randint(0, n, int(size * 0.5) + 16)]))
     return np.sort(rng.permutation(out)[:size]).astype(np.int64)
+
+
+def _vecs_meta(path: str, fmt: str):
+    """(dim, row_bytes, n_rows) of a TEXMEX vector file."""
+    with open(path, "rb") as f:
+        head = np.fromfile(f, np.int32, 1)
+    if head.size == 0:
+        return 0, 0, 0
+    d = int(head[0])
+    row_bytes = 4 + d * (4 if fmt == "fvecs" else 1)
+    return d, row_bytes, os.path.getsize(path) // row_bytes
+
+
+def _read_vec_rows(path: str, fmt: str, start_row: int, n_rows: int,
+                   d: int, row_bytes: int) -> np.ndarray:
+    """Read rows [start_row, start_row + n_rows) as (n_rows, d) float32."""
+    raw = np.fromfile(path, np.uint8, count=n_rows * row_bytes,
+                      offset=start_row * row_bytes)
+    raw = raw[:len(raw) - len(raw) % row_bytes].reshape(-1, row_bytes)
+    if fmt == "fvecs":
+        return raw[:, 4:].copy().view(np.float32).reshape(-1, d)
+    return raw[:, 4:].astype(np.float32)
+
+
+class VecsChunks:
+    """Re-iterable chunked reader over TEXMEX .fvecs/.bvecs files — the
+    out-of-core ingest source for `IVFADCIndex.build_streaming` /
+    `build_from_files`. Iterating yields (<= chunk_rows, d) float32 arrays;
+    only one chunk is resident at a time, so datasets far larger than host
+    memory stream through. Multiple files concatenate in order (Deep1B ships
+    as numbered .bvecs parts).
+    """
+
+    def __init__(self, paths, chunk_rows: int = 262144,
+                 max_rows: Optional[int] = None):
+        if isinstance(paths, (str, os.PathLike)):
+            paths = [paths]
+        if not paths:
+            raise ValueError("no input files")
+        if chunk_rows < 1:
+            raise ValueError("chunk_rows must be >= 1")
+        self.paths = [os.fspath(p) for p in paths]
+        self.chunk_rows = int(chunk_rows)
+        self.max_rows = max_rows
+        self._meta = []
+        dim = None
+        for p in self.paths:
+            fmt = "fvecs" if p.endswith(".fvecs") else \
+                  "bvecs" if p.endswith(".bvecs") else None
+            if fmt is None:
+                raise ValueError(f"{p}: expected a .fvecs or .bvecs file")
+            d, row_bytes, n = _vecs_meta(p, fmt)
+            if n == 0:
+                continue
+            if dim is None:
+                dim = d
+            elif d != dim:
+                raise ValueError(
+                    f"{p} holds {d}-dim vectors, expected {dim}")
+            self._meta.append((p, fmt, d, row_bytes, n))
+        self.dim = dim or 0
+        total = sum(n for *_, n in self._meta)
+        self.n_rows = total if max_rows is None else min(total, max_rows)
+
+    def __len__(self) -> int:
+        return self.n_rows
+
+    def __iter__(self):
+        remaining = self.n_rows
+        for p, fmt, d, row_bytes, n in self._meta:
+            take = min(n, remaining)
+            for start in range(0, take, self.chunk_rows):
+                rows = min(self.chunk_rows, take - start)
+                yield _read_vec_rows(p, fmt, start, rows, d, row_bytes)
+            remaining -= take
+            if remaining <= 0:
+                return
