@@ -327,6 +327,44 @@ class ShardedIVFADCIndex:
                               int(data.shape[1]))
         return cls._assemble(base, mesh, parts)
 
+    @classmethod
+    def build_streaming(cls, chunks, mesh=None, config=None, *,
+                        train_data=None, train_sample: int = 1 << 18,
+                        **kwargs) -> "ShardedIVFADCIndex":
+        """Out-of-core ingest straight into a sharded serving view: the
+        Deep1B regime where the float data exceeds host memory AND the
+        index exceeds one chip. Composes `IVFADCIndex.build_streaming`
+        (reservoir-sampled training + chunk-streamed device encode; only
+        the compact (assignments, codes) pair is ever host-resident) with
+        per-shard wiring: each device receives ONLY its shard's CSR block,
+        and the decoded int8 scan caches are computed shard-wise on device
+        from the already-sharded codes — the full decoded cache (the array
+        that cannot fit one chip) never exists on any single device.
+
+        Unlike `build` (whose base is metadata-only), the compact host
+        codes are retained on the base index, so the returned view keeps
+        full dynamic-op support (`.index.push/delete` + `refresh()`) and
+        single-file persistence. No reference counterpart: the reference
+        needs the full d x n matrix resident and is single-process
+        (/root/reference/src/index.jl:103, TODO.md:2).
+        """
+        idx = IVFADCIndex.build_streaming(
+            chunks, config, train_data=train_data,
+            train_sample=train_sample, **kwargs)
+        return cls(idx, mesh if mesh is not None else make_mesh())
+
+    @classmethod
+    def build_from_files(cls, paths, mesh=None, config=None, *,
+                         chunk_rows: int = 262144, max_rows=None,
+                         train_sample: int = 1 << 18,
+                         **kwargs) -> "ShardedIVFADCIndex":
+        """`build_streaming` over TEXMEX .fvecs/.bvecs files (multiple
+        files concatenate in order, as Deep1B's numbered parts do)."""
+        from ivfadc_tpu.utils.datasets import VecsChunks
+        return cls.build_streaming(
+            VecsChunks(paths, chunk_rows=chunk_rows, max_rows=max_rows),
+            mesh, config, train_sample=train_sample, **kwargs)
+
     @staticmethod
     def _meta_base(config, coarse, quantizer, glayout, dim) -> IVFADCIndex:
         """Metadata-only base index: config + trained quantizers + the global

@@ -138,3 +138,64 @@ def test_build_from_files_end_to_end(tmp_path):
     sp = str(tmp_path / "idx.npz")
     idx.save(sp)
     assert len(IVFADCIndex.load(sp)) == 2001
+
+
+# ---------------------------------------------------------------- sharded
+# Out-of-core ingest straight into a sharded serving view (the Deep1B
+# regime: float data exceeds host memory AND the index exceeds one chip).
+
+def test_sharded_streaming_matches_sharded_full_build():
+    from ivfadc_tpu.parallel.mesh import make_mesh
+    from ivfadc_tpu.parallel.sharded import ShardedIVFADCIndex
+
+    data = _clustered(3000, 24, seed=11)
+    kw = dict(kc=32, k=64, m=4, seed=3, coarse_maxiter=8,
+              quantization_maxiter=8)
+    mesh = make_mesh(n_shards=4, n_data=2)
+    ref = ShardedIVFADCIndex(IVFADCIndex.build(data, **kw), mesh)
+    strm = ShardedIVFADCIndex.build_streaming(
+        _chunks(data, 700), mesh, train_data=data, **kw)
+    assert len(strm.index) == 3000
+    # the base index never built its full single-device view: the decoded
+    # scan caches exist only shard-wise on the mesh
+    assert strm.index.store._device is None
+    assert strm.index.store._device_dense is None
+    q = data[:64]
+    ri, rd = ref.search_padded(q, 10, w=4)
+    si, sd = strm.search_padded(q, 10, w=4)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(sd), np.asarray(rd),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_streaming_dynamic_ops_and_refresh():
+    from ivfadc_tpu.parallel.mesh import make_mesh
+    from ivfadc_tpu.parallel.sharded import ShardedIVFADCIndex
+
+    data = _clustered(2000, 16, seed=12)
+    strm = ShardedIVFADCIndex.build_streaming(
+        _chunks(data, 600), make_mesh(n_shards=4), train_data=data,
+        kc=16, k=32, m=4, seed=1, coarse_maxiter=6, quantization_maxiter=6)
+    strm.index.push(data[7])
+    strm.index.delete([0, 1])
+    strm.refresh()
+    ids, _ = strm.search_padded(data[7:8], 3, w=4)
+    assert 1998 in ids[0]        # pushed copy's id after the 2-delete shift
+    ids1, _ = strm.index.search_padded(data[7:8], 3, w=4)
+    assert set(np.asarray(ids[0]).tolist()) == \
+        set(np.asarray(ids1[0]).tolist())
+
+
+def test_sharded_build_from_files(tmp_path):
+    from ivfadc_tpu.parallel.mesh import make_mesh
+    from ivfadc_tpu.parallel.sharded import ShardedIVFADCIndex
+
+    data = _clustered(1500, 16, seed=13)
+    p = str(tmp_path / "base.fvecs")
+    write_fvecs(p, data)
+    strm = ShardedIVFADCIndex.build_from_files(
+        p, make_mesh(n_shards=8), chunk_rows=400, kc=16, k=32, m=4,
+        seed=0, coarse_maxiter=6, quantization_maxiter=6, train_sample=1200)
+    assert len(strm.index) == 1500
+    ids, _ = strm.search_padded(data[33:34], 5, w=4)
+    assert ids[0][0] == 33
