@@ -114,3 +114,31 @@ def test_large_w_times_d_takes_fallback_not_crash(w):
         assert (np.diff(dd) >= -1e-4).all()
     # self-neighbors: each query is a base row
     assert (ids[:, 0] == np.arange(4)).mean() >= 0.75
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_random_config_streaming_matches_build(trial):
+    """The streamed build must reproduce `build` EXACTLY (same seed,
+    train_data = the full stream) at every point of the config lattice —
+    opq rotation applied during chunk encode, two-level coarse, every
+    metric pair, ragged m∤d, odd chunk boundaries."""
+    rng = np.random.RandomState(7000 + trial)
+    c = _rand_config(rng)
+    data = rng.randn(c["n"], c["d"]).astype(np.float32)
+    kw = dict(kc=c["kc"], k=min(c["k"], c["n"]), m=c["m"], seed=trial,
+              quantization_method=c["method"],
+              coarse_metric=c["coarse_metric"],
+              quantization_metric=c["quant_metric"],
+              index_dtype=c["dtype"], coarse_quantizer=c["coarse"],
+              coarse_maxiter=4, quantization_maxiter=4)
+    ref = IVFADCIndex.build(data, **kw)
+    rows = int(rng.randint(40, c["n"] + 1))          # odd chunk boundaries
+    chunks = [data[i:i + rows] for i in range(0, c["n"], rows)]
+    strm = IVFADCIndex.build_streaming(chunks, train_data=data, **kw)
+    assert len(strm) == len(ref) == c["n"]
+    queries = data[rng.randint(0, c["n"], 6)]
+    ri, rd = ref.search_padded(queries, c["topk"], w=c["w"])
+    si, sd = strm.search_padded(queries, c["topk"], w=c["w"])
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(ri), err_msg=str(c))
+    np.testing.assert_allclose(np.asarray(sd), np.asarray(rd),
+                               rtol=1e-5, atol=1e-5, err_msg=str(c))
