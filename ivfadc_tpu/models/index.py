@@ -62,6 +62,59 @@ def _env_coarse_engine() -> str:
 _PQ_TRAIN_AUTOCAP = 1 << 20
 
 
+def _train_components(k_coarse, k_quant, xd, config, cmetric, qmetric, timer):
+    """Coarse k-means + residual-quantizer training on device data `xd`.
+
+    ONE copy of the key-discipline block shared by `IVFADCIndex.build` and
+    `IVFADCIndex.build_streaming`: the streamed build's exact-reproduction
+    guarantee (train_data == full stream => identical index) holds only
+    while both paths split/fold the PRNG keys and subsample identically,
+    so the logic must not be duplicated. Returns (cres, residuals,
+    quantizer); `residuals` is the full (len(xd), d) device array — the
+    caller owns freeing it.
+    """
+    from ivfadc_tpu.ops import pq as pq_ops
+    from ivfadc_tpu.ops.kmeans import kmeans
+
+    if config.kc > xd.shape[0]:
+        raise AssertionError(
+            f"kc={config.kc} coarse cells need at least that many training "
+            f"points, got {xd.shape[0]} (streamed builds: raise "
+            f"train_sample above kc)")
+    with timer.phase("coarse_kmeans"):
+        cres = kmeans(k_coarse, xd, config.kc,
+                      maxiter=config.coarse_maxiter, metric=cmetric,
+                      block=config.kmeans_block,
+                      pp_sample=config.kmeanspp_sample)
+        jax.block_until_ready(cres)
+    with timer.phase("residuals"):
+        residuals = xd - cres.centers[cres.assignments]
+        jax.block_until_ready(residuals)
+    with timer.phase("train_quantizer"):
+        n = xd.shape[0]
+        train_res = residuals
+        qs = config.quantization_sample
+        if qs == 0 and n > _PQ_TRAIN_AUTOCAP:
+            # The per-subspace training layout (m, n, d/m) pads d/m up
+            # to 128 lanes — at multi-million n that padding alone
+            # overflows HBM (measured 15 GiB at n=4M, m=8, d=128). PQ
+            # codebooks estimated from 2^20 residuals are statistically
+            # indistinguishable; encoding still covers every point.
+            qs = _PQ_TRAIN_AUTOCAP
+        if qs and qs < n:
+            sel = jax.random.choice(jax.random.fold_in(k_quant, 1), n,
+                                    (qs,), replace=False)
+            train_res = residuals[sel]
+        quantizer = pq_ops.train_quantizer(
+            k_quant, train_res, m=config.m, k=config.k,
+            method=config.quantization_method,
+            maxiter=config.quantization_maxiter, metric=qmetric,
+            opq_iters=config.opq_iters, block=config.kmeans_block)
+        del train_res
+        jax.block_until_ready(quantizer.codebooks)
+    return cres, residuals, quantizer
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "w", "window", "metric", "include_base",
@@ -359,8 +412,6 @@ class IVFADCIndex:
         (The reference takes column-major d x n Julia matrices; numpy
         convention here is (n, d).)
         """
-        from ivfadc_tpu.ops.kmeans import kmeans
-
         if config is None:
             config = IVFADCConfig(**kwargs)
         elif kwargs:
@@ -388,38 +439,10 @@ class IVFADCIndex:
         k_coarse, k_quant, k_cq = jax.random.split(key, 3)
         timer = BuildTimer()
 
-        with timer.phase("coarse_kmeans"):
-            xd = data.astype(jnp.float32) if on_device \
-                else jnp.asarray(data, jnp.float32)
-            cres = kmeans(k_coarse, xd, config.kc,
-                          maxiter=config.coarse_maxiter, metric=cmetric,
-                          block=config.kmeans_block,
-                          pp_sample=config.kmeanspp_sample)
-            jax.block_until_ready(cres)
-        with timer.phase("residuals"):
-            residuals = xd - cres.centers[cres.assignments]
-            jax.block_until_ready(residuals)
-        with timer.phase("train_quantizer"):
-            train_res = residuals
-            qs = config.quantization_sample
-            if qs == 0 and n > _PQ_TRAIN_AUTOCAP:
-                # The per-subspace training layout (m, n, d/m) pads d/m up
-                # to 128 lanes — at multi-million n that padding alone
-                # overflows HBM (measured 15 GiB at n=4M, m=8, d=128). PQ
-                # codebooks estimated from 2^20 residuals are statistically
-                # indistinguishable; encoding still covers every point.
-                qs = _PQ_TRAIN_AUTOCAP
-            if qs and qs < n:
-                sel = jax.random.choice(jax.random.fold_in(k_quant, 1), n,
-                                        (qs,), replace=False)
-                train_res = residuals[sel]
-            quantizer = pq_ops.train_quantizer(
-                k_quant, train_res, m=config.m, k=config.k,
-                method=config.quantization_method,
-                maxiter=config.quantization_maxiter, metric=qmetric,
-                opq_iters=config.opq_iters, block=config.kmeans_block)
-            del train_res
-            jax.block_until_ready(quantizer.codebooks)
+        xd = data.astype(jnp.float32) if on_device \
+            else jnp.asarray(data, jnp.float32)
+        cres, residuals, quantizer = _train_components(
+            k_coarse, k_quant, xd, config, cmetric, qmetric, timer)
         with timer.phase("encode"):
             codes = pq_ops.encode(quantizer, residuals, metric=qmetric)
             jax.block_until_ready(codes)
@@ -473,7 +496,6 @@ class IVFADCIndex:
         matrix in memory (/root/reference/src/index.jl:103).
         """
         from ivfadc_tpu.ops.kmeans import assign as kmeans_assign
-        from ivfadc_tpu.ops.kmeans import kmeans
 
         if config is None:
             config = IVFADCConfig(**kwargs)
@@ -518,43 +540,33 @@ class IVFADCIndex:
             if seen == 0:
                 raise AssertionError("empty chunk stream")
             train = sample[:min(seen, train_sample)]
+            # every validate_for_data check is decidable now (pass 2 only
+            # re-streams the same rows) — fail BEFORE the expensive
+            # training + encode passes, not after them
+            config.validate_for_data(seen, d)
         else:
             train = np.asarray(train_data, np.float32)
             if train.ndim != 2:
                 raise AssertionError("train_data must be 2-D (n, d)")
             d = train.shape[1]
+            # sized sources (VecsChunks) expose the stream length — use it
+            # to fail fast here too; the exact n is re-validated after
+            # pass 2 either way
+            n_hint = getattr(chunks, "n_rows", None)
+            if n_hint:
+                config.validate_for_data(int(n_hint), d)
         if config.k > train.shape[0]:
             raise AssertionError(
                 f"training sample ({train.shape[0]}) must hold at least "
-                f"k={config.k} points")
+                f"k={config.k} points (streamed builds: raise train_sample)")
 
-        # --- train coarse + quantizer on the sample (same key discipline
-        # as `build`, so train_data == full data reproduces it exactly) ---
-        with timer.phase("coarse_kmeans"):
-            xt = jnp.asarray(train, jnp.float32)
-            cres = kmeans(k_coarse, xt, config.kc,
-                          maxiter=config.coarse_maxiter, metric=cmetric,
-                          block=config.kmeans_block,
-                          pp_sample=config.kmeanspp_sample)
-            jax.block_until_ready(cres)
-        with timer.phase("train_quantizer"):
-            residuals = xt - cres.centers[cres.assignments]
-            nt = residuals.shape[0]
-            qs = config.quantization_sample
-            if qs == 0 and nt > _PQ_TRAIN_AUTOCAP:
-                qs = _PQ_TRAIN_AUTOCAP
-            train_res = residuals
-            if qs and qs < nt:
-                sel = jax.random.choice(jax.random.fold_in(k_quant, 1), nt,
-                                        (qs,), replace=False)
-                train_res = residuals[sel]
-            quantizer = pq_ops.train_quantizer(
-                k_quant, train_res, m=config.m, k=config.k,
-                method=config.quantization_method,
-                maxiter=config.quantization_maxiter, metric=qmetric,
-                opq_iters=config.opq_iters, block=config.kmeans_block)
-            del train_res, residuals, xt
-            jax.block_until_ready(quantizer.codebooks)
+        # --- train coarse + quantizer on the sample: the ONE shared
+        # key-discipline block, so train_data == full data reproduces
+        # `build` exactly ---
+        xt = jnp.asarray(train, jnp.float32)
+        cres, residuals, quantizer = _train_components(
+            k_coarse, k_quant, xt, config, cmetric, qmetric, timer)
+        del residuals, xt            # the stream re-encodes every point
 
         # --- pass 2: stream chunks through device assign + encode ---
         enc_align = 2048             # pad chunks to a multiple: few retraces
@@ -566,6 +578,8 @@ class IVFADCIndex:
         with timer.phase("encode"):
             for chunk in chunks:
                 chunk = np.asarray(chunk)
+                if chunk.ndim != 2:
+                    raise AssertionError("chunks must be 2-D (b, d) arrays")
                 if chunk.shape[0] == 0:
                     continue
                 if data_dtype is None:

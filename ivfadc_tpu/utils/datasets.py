@@ -153,7 +153,8 @@ class VecsChunks:
                  max_rows: Optional[int] = None):
         if isinstance(paths, (str, os.PathLike)):
             paths = [paths]
-        if not paths:
+        paths = list(paths)          # materialize: generators/arrays of
+        if not paths:                # paths must hit the emptiness check
             raise ValueError("no input files")
         if chunk_rows < 1:
             raise ValueError("chunk_rows must be >= 1")

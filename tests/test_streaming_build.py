@@ -199,3 +199,42 @@ def test_sharded_build_from_files(tmp_path):
     assert len(strm.index) == 1500
     ids, _ = strm.search_padded(data[33:34], 5, w=4)
     assert ids[0][0] == 33
+
+
+# ------------------------------------------------------- review regressions
+
+def test_streaming_rejects_non_2d_chunk_on_pass2():
+    # with train_data given, pass 1 is skipped — pass 2 must still raise
+    # the clear AssertionError, not an IndexError
+    data = _clustered(600, 8, seed=20)
+    with pytest.raises(AssertionError, match="2-D"):
+        IVFADCIndex.build_streaming(
+            [data[:300], data[300].ravel()], train_data=data,
+            kc=4, k=16, m=2)
+
+
+def test_streaming_kc_above_train_sample_clear_error():
+    data = _clustered(800, 8, seed=21)
+    with pytest.raises(AssertionError, match="kc=64.*train_sample"):
+        IVFADCIndex.build_streaming(_chunks(data, 200), kc=64, k=16, m=2,
+                                    train_sample=32)
+
+
+def test_streaming_capacity_law_fails_before_training():
+    # 300 points don't fit uint8 ids — must fail right after pass 1 (the
+    # error is decidable from `seen`), recorded by the absence of any
+    # training phase in the raised path (we just pin the fast error here)
+    data = _clustered(300, 8, seed=22)
+    with pytest.raises(AssertionError, match="uint8|index bits|bits"):
+        IVFADCIndex.build_streaming(_chunks(data, 100), kc=4, k=16, m=2,
+                                    index_dtype="uint8", train_sample=128)
+
+
+def test_vecs_chunks_path_generator_and_empty(tmp_path):
+    data = _clustered(100, 6, seed=23)
+    p = str(tmp_path / "g.fvecs")
+    write_fvecs(p, data)
+    ch = VecsChunks(iter([p]), chunk_rows=64)      # generator of paths
+    np.testing.assert_array_equal(np.concatenate(list(ch)), data)
+    with pytest.raises(ValueError, match="no input files"):
+        VecsChunks(iter([]))
