@@ -14,12 +14,13 @@ from ivfadc_tpu.ops.metrics import Metric, get_metric, register_metric
 from ivfadc_tpu.ops.pq import ProductQuantizer
 from ivfadc_tpu.serving import BatchingSearcher
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 
-def knn_search(index: IVFADCIndex, points, k: int, w: int = 1):
+def knn_search(index, points, k: int, w: int = 1):
     """Free-function parity with the reference's exported `knn_search`
-    (/root/reference/src/index.jl:204-273). Single point or batch."""
+    (/root/reference/src/index.jl:204-273). Single point or batch; works
+    on plain and `ShardedIVFADCIndex` indexes alike."""
     return index.search(points, k, w=w)
 
 

@@ -648,6 +648,35 @@ class ShardedIVFADCIndex:
             extract=_env_extract(), rank_engine=_env_rank_engine())
         return ids, dists, B
 
+    def search(self, points, k: int, w: int = 1):
+        """knn_search parity over the sharded view — same contract as
+        `IVFADCIndex.search` (/root/reference/src/index.jl:204-273): single
+        point (d,) -> trimmed (ids, dists); batch -> lists per query. Makes
+        the top-level `knn_search(index, ...)` free function work on plain
+        and sharded indexes alike."""
+        pts = np.asarray(points if not isinstance(points, (list, tuple))
+                         else np.stack([np.asarray(p) for p in points]))
+        single = pts.ndim == 1
+        if single:
+            pts = pts[None, :]
+        if pts.shape[1] != self.index.dim:
+            raise AssertionError(
+                f"query dimension {pts.shape[1]} != index dimension "
+                f"{self.index.dim}")
+        out_dtype = pts.dtype if np.issubdtype(pts.dtype, np.floating) \
+            else np.float32
+        ids, dists = self.search_padded(pts, k, w=w)
+        id_dtype = np.dtype(self.index.config.index_dtype)
+        if single:
+            m = ids[0] >= 0
+            return ids[0][m].astype(id_dtype), dists[0][m].astype(out_dtype)
+        out_i, out_d = [], []
+        for row_i, row_d in zip(ids, dists):
+            m = row_i >= 0
+            out_i.append(row_i[m].astype(id_dtype))
+            out_d.append(row_d[m].astype(out_dtype))
+        return out_i, out_d
+
     def search_padded(self, queries: np.ndarray, k: int, w: int = 1, *,
                       overlap: bool = False
                       ) -> Tuple[np.ndarray, np.ndarray]:

@@ -435,3 +435,20 @@ def test_sharded_refresh_fuzz(random_data):
         for a, b in zip(ids_s, ids_1):
             assert set(a[a >= 0]) == set(b[b >= 0]), round_
     assert "incremental" in paths, paths   # the cheap path actually ran
+
+
+def test_sharded_search_free_function_and_trimmed(base_index):
+    """knn_search() parity over the sharded view: single point -> trimmed
+    (ids, dists) matching the single-chip search; batch -> per-query lists."""
+    import ivfadc_tpu as pkg
+    base, idx = base_index
+    sidx = ShardedIVFADCIndex(idx, make_mesh(n_shards=4, n_data=2))
+    ids_s, d_s = pkg.knn_search(sidx, base[17], 5, w=4)
+    ids_1, d_1 = pkg.knn_search(idx, base[17], 5, w=4)
+    assert set(ids_s.tolist()) == set(ids_1.tolist())
+    np.testing.assert_allclose(np.sort(d_s), np.sort(d_1), rtol=1e-5)
+    assert ids_s.dtype == np.dtype(idx.config.index_dtype)
+    bi, bd = pkg.knn_search(sidx, base[:3], 4, w=2)
+    assert len(bi) == 3 and all(len(r) <= 4 for r in bi)
+    with pytest.raises(AssertionError, match="dimension"):
+        sidx.search(base[0][:5], 3)
