@@ -38,8 +38,21 @@ def load_ivfadc_index(path: str) -> IVFADCIndex:
     return IVFADCIndex.load(path)
 
 
+def __getattr__(name: str):
+    # lazy: the distributed layer (mesh construction, shard_map programs)
+    # only loads when a user actually reaches for it
+    if name == "ShardedIVFADCIndex":
+        from ivfadc_tpu.parallel.sharded import ShardedIVFADCIndex
+        return ShardedIVFADCIndex
+    if name == "make_mesh":
+        from ivfadc_tpu.parallel.mesh import make_mesh
+        return make_mesh
+    raise AttributeError(f"module 'ivfadc_tpu' has no attribute {name!r}")
+
+
 __all__ = [
     "BatchingSearcher", "IVFADCConfig", "IVFADCIndex", "Metric",
-    "ProductQuantizer", "get_metric", "register_metric", "knn_search",
-    "delete_from_index", "save_ivfadc_index", "load_ivfadc_index",
+    "ProductQuantizer", "ShardedIVFADCIndex", "get_metric", "make_mesh",
+    "register_metric", "knn_search", "delete_from_index",
+    "save_ivfadc_index", "load_ivfadc_index",
 ]

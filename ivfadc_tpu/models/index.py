@@ -575,6 +575,18 @@ class IVFADCIndex:
         all_codes: List[np.ndarray] = []
         n = 0
         data_dtype = None
+        # One-deep software pipeline: chunk i's device->host fetch happens
+        # only AFTER chunk i+1's upload + compute are dispatched (JAX
+        # dispatch is async), so the slow tunnel H2D/D2H legs overlap with
+        # compute instead of serializing per chunk. At most two chunks'
+        # results are in flight on device.
+        pending = None                       # (assignments, codes, rows)
+
+        def _collect(p):
+            a_p, codes_p, b_p = p
+            all_assign.append(np.asarray(a_p[:b_p]))
+            all_codes.append(np.asarray(codes_p[:b_p]))
+
         with timer.phase("encode"):
             for chunk in chunks:
                 chunk = np.asarray(chunk)
@@ -596,9 +608,12 @@ class IVFADCIndex:
                                   block=config.kmeans_block)
                 codes = pq_ops.encode(quantizer, x - centers[a],
                                       metric=qmetric)
-                all_assign.append(np.asarray(a[:b]))
-                all_codes.append(np.asarray(codes[:b]))
+                if pending is not None:
+                    _collect(pending)
+                pending = (a, codes, b)
                 n += b
+            if pending is not None:
+                _collect(pending)
         if train_data is None and n != seen:
             raise AssertionError(
                 f"chunk stream yielded {seen} rows on pass 1 but {n} on "
