@@ -71,6 +71,20 @@ elif phase == "wrap_refresh":
     ids_1, d_1 = idx.search_padded(data[:32], 5, w=4)
     assert np.array_equal(np.asarray(ids_s), np.asarray(ids_1)), "refresh"
     ids, dists = ids_s, d_s
+elif phase == "stream":
+    # multi-host out-of-core ingest: every process streams the SAME files
+    # (the documented contract — the dataset is on shared storage), builds
+    # the identical compact host codes, and wires only the shard rows its
+    # local devices address; owner-only sharded save must then work from a
+    # streamed (non-metadata-only) view under a real process group
+    ddir = os.path.join(out, "data")
+    paths = sorted(os.path.join(ddir, f) for f in os.listdir(ddir)
+                   if f.endswith(".fvecs"))
+    sv = ShardedIVFADCIndex.build_from_files(
+        paths, mesh, config=cfg, chunk_rows=900, train_sample=4096)
+    assert len(sv.index) == 4096, len(sv.index)
+    ids, dists = sv.search_padded(data[:32], 5, w=4)
+    save_sharded_index(sv_dir, sv)
 else:
     sv = load_sharded_index(sv_dir, mesh=mesh)
     ids, dists = sv.search_padded(data[:32], 5, w=4)
@@ -179,3 +193,34 @@ def test_wrap_and_incremental_refresh_under_process_group(tmp_path):
     b = np.load(os.path.join(out, "res_wrap_refresh_1.npz"))
     np.testing.assert_array_equal(a["ids"], b["ids"])
     np.testing.assert_allclose(a["dists"], b["dists"], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_streamed_sharded_build(tmp_path):
+    """Multi-host out-of-core ingest lifecycle: both processes stream the
+    same TEXMEX files -> streamed sharded build -> replicated search
+    results -> owner-only sharded save -> fresh group loads it back."""
+    out = str(tmp_path)
+    sv = os.path.join(out, "svs")
+    ddir = os.path.join(out, "data")
+    os.makedirs(ddir)
+    data = np.random.RandomState(0).rand(4096, 32).astype(np.float32)
+    for i, sl in enumerate((data[:2048], data[2048:])):   # 2 files, odd chunks
+        head = np.full((len(sl), 1), 32, np.int32).view(np.float32)
+        np.ascontiguousarray(np.concatenate([head, sl], axis=1)).tofile(
+            os.path.join(ddir, f"part{i}.fvecs"))
+
+    _run_pair("stream", out, sv, n_data=2)
+    a = np.load(os.path.join(out, "res_stream_0.npz"))
+    b = np.load(os.path.join(out, "res_stream_1.npz"))
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+    np.testing.assert_array_equal(a["dists"], b["dists"])
+    assert (a["ids"][np.arange(32), 0] == np.arange(32)).mean() > 0.9
+
+    files = sorted(os.listdir(sv))
+    assert files == ["common.npz", "manifest.json"] + [
+        f"shard_{s:05d}.npz" for s in range(4)]
+    _run_pair("load", out, sv, n_data=2)
+    la = np.load(os.path.join(out, "res_load_0.npz"))
+    np.testing.assert_array_equal(la["ids"], a["ids"])
+    np.testing.assert_allclose(la["dists"], a["dists"], rtol=1e-5, atol=1e-6)
