@@ -19,9 +19,31 @@ from typing import Tuple
 import numpy as np
 
 
+def _coarse_dists(centroids: np.ndarray, q: np.ndarray,
+                  metric: str) -> np.ndarray:
+    """colwise(Dc(), centroids, q) — the reference's pluggable coarse metric
+    (/root/reference/src/coarsequantizers.jl:33-37, kwarg at
+    /root/reference/src/index.jl:107)."""
+    if metric in ("sqeuclidean", "euclidean"):
+        diff = centroids - q
+        d = np.einsum("ij,ij->i", diff, diff)
+        return np.sqrt(d) if metric == "euclidean" else d
+    if metric == "cityblock":
+        return np.abs(centroids - q).sum(axis=1)
+    if metric == "inner_product":
+        return -centroids @ q
+    if metric == "cosine":
+        cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
+        qn = q / max(np.linalg.norm(q), 1e-30)
+        return 1.0 - cn @ qn
+    raise ValueError(f"oracle: unknown coarse metric {metric!r}")
+
+
 class ReferenceOracle:
     def __init__(self, centroids: np.ndarray, codebooks: np.ndarray,
-                 cell_ids: list, cell_codes: list):
+                 cell_ids: list, cell_codes: list,
+                 coarse_metric: str = "sqeuclidean"):
         """centroids (kc, d); codebooks (m, k, dsub);
         cell_ids[c] (sz,), cell_codes[c] (sz, m) per cell."""
         self.centroids = np.asarray(centroids, np.float32)
@@ -30,6 +52,7 @@ class ReferenceOracle:
         self.cell_codes = [np.asarray(c) for c in cell_codes]
         self.kc, self.d = self.centroids.shape
         self.m, self.k, self.dsub = self.codebooks.shape
+        self.coarse_metric = coarse_metric
 
     @classmethod
     def from_index(cls, index) -> "ReferenceOracle":
@@ -39,16 +62,16 @@ class ReferenceOracle:
             ids.append(i)
             codes.append(co)
         return cls(np.asarray(index.coarse.centroids),
-                   np.asarray(index.quantizer.codebooks), ids, codes)
+                   np.asarray(index.quantizer.codebooks), ids, codes,
+                   coarse_metric=index.config.coarse_metric)
 
     def search(self, q: np.ndarray, k: int, w: int
                ) -> Tuple[np.ndarray, np.ndarray]:
         """Single query, the reference's algorithm step by step."""
         q = np.asarray(q, np.float32)
-        # coarse_search: colwise SqEuclidean over all centroids + sortperm
+        # coarse_search: colwise dist over all centroids + sortperm
         # (/root/reference/src/coarsequantizers.jl:33-37)
-        diff = self.centroids - q
-        cd = np.einsum("ij,ij->i", diff, diff)
+        cd = _coarse_dists(self.centroids, q, self.coarse_metric)
         probes = np.argsort(cd)[:min(w, self.kc)]
         all_ids, all_d = [], []
         for c in probes:

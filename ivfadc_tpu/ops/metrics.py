@@ -78,10 +78,17 @@ EUCLIDEAN = Metric("euclidean", _sqeuclidean_pairwise,
 # cityblock coarse build behaves identically here and there — a heuristic,
 # not a converging L1 k-means.
 CITYBLOCK = Metric("cityblock", _cityblock_pairwise, _identity, additive=True)
+# inner_product / cosine train like Clustering.jl trains them when passed as
+# `coarse_distance` (/root/reference/src/index.jl:129-134): Lloyd assigns
+# under the metric and updates centroids by MEAN — the same
+# assign-under-metric / mean-update policy as cityblock above. For cosine
+# this is well-behaved (assignment is scale-invariant, and the mean keeps
+# centroids in data space so coarse residuals stay small); for inner_product
+# it is the same heuristic the reference inherits. cosine remains invalid as
+# a QUANTIZATION metric (non-additive — rejected at index construction).
 INNER_PRODUCT = Metric("inner_product", _inner_product_pairwise, _identity,
-                       additive=True, trainable=False, residual_based=False)
-COSINE = Metric("cosine", _cosine_pairwise, _identity, additive=False,
-                trainable=False)
+                       additive=True, residual_based=False)
+COSINE = Metric("cosine", _cosine_pairwise, _identity, additive=False)
 
 _REGISTRY = {
     m.name: m for m in (SQEUCLIDEAN, EUCLIDEAN, CITYBLOCK, INNER_PRODUCT, COSINE)

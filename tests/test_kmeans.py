@@ -83,3 +83,50 @@ def test_kmeans_deterministic_given_key():
     r1 = kmeans(jax.random.PRNGKey(9), jnp.asarray(x), 6, maxiter=10)
     r2 = kmeans(jax.random.PRNGKey(9), jnp.asarray(x), 6, maxiter=10)
     assert np.array_equal(np.asarray(r1.centers), np.asarray(r2.centers))
+
+
+def test_kmeans_cosine_recovers_directional_clusters():
+    """coarse k-means under cosine: assignment under the metric, mean
+    update — the Clustering.jl-parity policy
+    (/root/reference/src/index.jl:129-134 passes any coarse_distance)."""
+    rng = np.random.RandomState(8)
+    # 4 directional clusters: same direction, wildly different norms
+    dirs = rng.randn(4, 8)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pts = []
+    for dvec in dirs:
+        v = dvec[None, :] + 0.05 * rng.randn(60, 8)
+        v *= rng.uniform(0.5, 20.0, (60, 1))        # scale noise
+        pts.append(v)
+    x = np.concatenate(pts).astype(np.float32)
+    cos = get_metric("cosine")
+    res = kmeans(jax.random.PRNGKey(8), jnp.asarray(x), 4, maxiter=20,
+                 metric=cos)
+    a = np.asarray(res.assignments)
+    # each true directional cluster maps to exactly one found cluster
+    labels = [np.bincount(a[i * 60:(i + 1) * 60], minlength=4).argmax()
+              for i in range(4)]
+    assert len(set(labels)) == 4
+    purity = np.mean([
+        (a[i * 60:(i + 1) * 60] == labels[i]).mean() for i in range(4)])
+    assert purity > 0.95
+    # assignments are nearest-center under COSINE (not sqeuclidean)
+    c = np.asarray(res.centers)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    assert np.array_equal(a, (1.0 - xn @ cn.T).argmin(1))
+
+
+def test_kmeans_inner_product_trains():
+    """inner_product k-means is the same assign-under-metric heuristic the
+    reference inherits from Clustering.jl — it must run and produce finite
+    centers with nearest-center (max dot) assignments."""
+    rng = np.random.RandomState(9)
+    x = rng.rand(300, 6).astype(np.float32) + 0.1
+    ip = get_metric("inner_product")
+    res = kmeans(jax.random.PRNGKey(9), jnp.asarray(x), 5, maxiter=10,
+                 metric=ip)
+    c = np.asarray(res.centers)
+    assert np.isfinite(c).all()
+    a = np.asarray(res.assignments)
+    assert np.array_equal(a, (-(x @ c.T)).argmin(1))

@@ -67,3 +67,56 @@ def test_reconstruct_matches_oracle_decode():
     recon = idx.reconstruct(ext)
     centroid = np.asarray(idx.coarse.centroids[cell])
     np.testing.assert_allclose(recon, centroid + manual[:12], rtol=1e-5)
+
+
+def test_cosine_coarse_metric_matches_oracle():
+    """coarse_metric="cosine" end-to-end: the coarse k-means trains under
+    cosine (Clustering.jl accepts any coarse_distance,
+    /root/reference/src/index.jl:129-134), probes rank by cosine, and the
+    reference score composes cosine coarse distance + sqeuclidean residual
+    tables. Parity against the oracle running the same composition."""
+    rng = np.random.RandomState(11)
+    dirs = rng.randn(8, 12)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    data = np.concatenate([
+        (dvec[None, :] + 0.08 * rng.randn(50, 12))
+        * rng.uniform(0.5, 5.0, (50, 1))
+        for dvec in dirs]).astype(np.float32)
+    idx = IVFADCIndex.build(data, kc=8, k=16, m=3, seed=3,
+                            coarse_metric="cosine",
+                            coarse_maxiter=10, quantization_maxiter=8)
+    assert idx.config.coarse_metric == "cosine"
+    oracle = ReferenceOracle.from_index(idx)
+    assert oracle.coarse_metric == "cosine"
+    queries = data[rng.choice(len(data), 16)] + \
+        0.02 * rng.randn(16, 12).astype(np.float32)
+    for w in (1, 3):
+        ours_i, ours_d = idx.search(queries, 8, w=w)
+        for q, oi, od in zip(queries, ours_i, ours_d):
+            ri, rd = oracle.search(q, 8, w)
+            kth = rd[-1]
+            tol = 2e-2 * max(1.0, abs(float(kth)))
+            for cand, cd in zip(oi.tolist(), od.tolist()):
+                assert cand in set(ri.tolist()) or abs(cd - kth) <= tol, \
+                    (w, cand, cd, kth)
+            np.testing.assert_allclose(np.sort(od), np.sort(rd),
+                                       rtol=2e-2, atol=2e-2)
+
+
+def test_inner_product_coarse_metric_builds_and_searches():
+    """coarse_metric="inner_product" builds (trainable now) and search
+    returns valid ids; parity vs the oracle under the same composition."""
+    rng = np.random.RandomState(12)
+    data = (rng.rand(200, 10) + 0.1).astype(np.float32)
+    idx = IVFADCIndex.build(data, kc=6, k=16, m=2, seed=4,
+                            coarse_metric="inner_product",
+                            coarse_maxiter=8, quantization_maxiter=8)
+    oracle = ReferenceOracle.from_index(idx)
+    queries = data[:8]
+    ours_i, ours_d = idx.search(queries, 5, w=2)
+    for q, oi, od in zip(queries, ours_i, ours_d):
+        ri, rd = oracle.search(q, 5, 2)
+        kth = rd[-1]
+        tol = 2e-2 * max(1.0, abs(float(kth)))
+        for cand, cd in zip(oi.tolist(), od.tolist()):
+            assert cand in set(ri.tolist()) or abs(cd - kth) <= tol
