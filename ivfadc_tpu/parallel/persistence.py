@@ -111,13 +111,9 @@ def save_sharded_index(path: str, sidx) -> None:
         os.replace(tmp, os.path.join(path, f"shard_{s:05d}.npz"))
 
 
-def load_sharded_index(path: str, mesh=None):
-    """Restore a sharded serving view from a `save_sharded_index` directory.
-
-    Decoded scan caches are rebuilt on device (they are derived state).
-    Single-process restore loads every shard file; a multi-host restore
-    would hand each process only its own shard files (same format).
-    """
+def _load_header(path: str):
+    """Parse manifest + common.npz into (meta, config, coarse, quantizer,
+    glayout, v1_shard_layout-or-None). Shared by every restore path."""
     import jax.numpy as jnp
 
     from ivfadc_tpu.config import IVFADCConfig
@@ -125,8 +121,6 @@ def load_sharded_index(path: str, mesh=None):
                                           TwoLevelCoarseQuantizer)
     from ivfadc_tpu.ops.metrics import get_metric
     from ivfadc_tpu.ops.pq import ProductQuantizer
-    from ivfadc_tpu.parallel.mesh import SHARD_AXIS, make_mesh
-    from ivfadc_tpu.parallel.sharded import ShardedIVFADCIndex
 
     with open(os.path.join(path, "manifest.json")) as f:
         meta = json.load(f)
@@ -134,13 +128,6 @@ def load_sharded_index(path: str, mesh=None):
         raise ValueError(
             f"sharded index format v{meta['format_version']} is newer than "
             f"this library supports (v{FORMAT_VERSION})")
-    mesh = mesh if mesh is not None else make_mesh(n_data=1)
-    S = meta["n_shards"]
-    if mesh.shape[SHARD_AXIS] != S:
-        raise ValueError(
-            f"index was saved with {S} shards but the mesh has "
-            f"{mesh.shape[SHARD_AXIS]} — re-sharding on load is not "
-            f"supported yet (rebuild with ShardedIVFADCIndex.build)")
     config = IVFADCConfig.from_dict(meta["config"])
     cmetric = get_metric(config.coarse_metric)
     with np.load(os.path.join(path, "common.npz")) as z:
@@ -158,59 +145,229 @@ def load_sharded_index(path: str, mesh=None):
         glayout = dict(offsets=z["global_offsets"].copy(),
                        caps=z["global_caps"].copy(),
                        sizes=z["global_sizes"].copy())
+        v1_layout = None
         if meta["format_version"] < 2:   # v1 kept the layout replicated
-            shard_offsets = z["shard_offsets"].copy()
-            shard_sizes = z["shard_sizes"].copy()
-    # a multi-host restore may see only this process's shard files (each
-    # host saved the shards it owned): missing files are fine for shards
-    # no local device addresses — device_put never reads those rows — but
-    # an addressable shard's file missing is a hard error
-    local = set(jax.local_devices())
-    mesh_dev = np.asarray(mesh.devices)
-    shard_dim = list(mesh.axis_names).index(SHARD_AXIS)
-    addressable = {
-        s for s in range(S)
-        if any(d in local for d in np.moveaxis(mesh_dev, shard_dim, 0)[s].flat)
-    }
-    codes, ids, offs, sizs, missing = [], [], [], [], []
+            v1_layout = (z["shard_offsets"].copy(), z["shard_sizes"].copy())
+    return meta, config, coarse, quantizer, glayout, v1_layout
+
+
+def _read_shard_files(path: str, S: int, needed, v1_layout):
+    """Read shard payload files. `needed` is the set of old-shard indices this
+    process must have (missing ones raise); other missing files yield None.
+    Returns (codes, ids, offsets, sizes) lists of per-shard arrays."""
+    codes, ids = [None] * S, [None] * S
+    offs, sizs = [None] * S, [None] * S
     for s in range(S):
         fp = os.path.join(path, f"shard_{s:05d}.npz")
         if not os.path.exists(fp):
-            if s in addressable:
+            if s in needed:
                 raise FileNotFoundError(
-                    f"shard {s} is addressable from process "
+                    f"shard {s} is required by process "
                     f"{jax.process_index()} but {fp} is missing")
-            missing.append(s)
-            bufs = (codes, ids, offs, sizs) \
-                if meta["format_version"] >= 2 else (codes, ids)
-            for buf in bufs:
-                buf.append(None)
             continue
         with np.load(fp) as z:
-            codes.append(z["codes"].copy())
-            ids.append(z["ids"].copy())
-            if meta["format_version"] >= 2:
-                offs.append(z["offsets"].copy())
-                sizs.append(z["sizes"].copy())
-    if missing:
-        ref = next(i for i in range(S) if i not in missing)
-        bufs = (codes, ids, offs, sizs) \
-            if meta["format_version"] >= 2 else (codes, ids)
-        for buf in bufs:
-            for s in missing:
-                buf[s] = np.zeros_like(buf[ref])
-    if meta["format_version"] >= 2:
-        shard_offsets = np.stack(offs)
-        shard_sizes = np.stack(sizs)
-    parts = dict(
-        offsets=shard_offsets,
-        sizes=shard_sizes,
-        pq_codes=np.stack(codes),
-        ids=np.stack(ids),
-        window=int(meta["window"]),
-        align=int(meta["align"]),
-        max_cap=int(meta["max_cap"]),
+            codes[s] = z["codes"].copy()
+            ids[s] = z["ids"].copy()
+            if v1_layout is None:
+                offs[s] = z["offsets"].copy()
+                sizs[s] = z["sizes"].copy()
+    if v1_layout is not None:
+        for s in range(S):
+            offs[s] = v1_layout[0][s]
+            sizs[s] = v1_layout[1][s]
+    return codes, ids, offs, sizs
+
+
+def _addressable_shards(mesh, S: int):
+    from ivfadc_tpu.parallel.mesh import SHARD_AXIS
+    local = set(jax.local_devices())
+    mesh_dev = np.asarray(mesh.devices)
+    shard_dim = list(mesh.axis_names).index(SHARD_AXIS)
+    return {
+        s for s in range(S)
+        if any(d in local for d in np.moveaxis(mesh_dev, shard_dim, 0)[s].flat)
+    }
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _shard_layout(sizes: np.ndarray, S: int, align: int):
+    """partition_store's deterministic per-shard CSR layout from the global
+    cell sizes (cells dealt c -> c % S; owner-only capacity). Process-
+    invariant — every host derives the identical layout from the replicated
+    (kc,) histogram, which is what makes reshard-on-load multi-host-safe."""
+    kc = len(sizes)
+    cells = np.arange(kc)
+    owners = cells % S
+    sizes_per = np.zeros((S, kc), np.int64)
+    sizes_per[owners, cells] = sizes
+    owner_mask = np.zeros((S, kc), bool)
+    owner_mask[owners, cells] = True
+    caps_per = np.where(
+        owner_mask,
+        np.maximum(align, ((sizes_per + 8 + align - 1) // align) * align), 0)
+    offsets_per = np.zeros((S, kc), np.int64)
+    np.cumsum(caps_per[:, :-1], axis=1, out=offsets_per[:, 1:])
+    cap_shard = _round_up(int((offsets_per[:, -1] + caps_per[:, -1]).max()),
+                          128)
+    window = _round_up(max(1, int(sizes_per.max(initial=0))), 128)
+    return offsets_per, sizes_per, caps_per, cap_shard, window
+
+
+def _row_moves(sizes: np.ndarray):
+    """(cell_rep, within) for every live row, in cell order — the shared
+    gather/scatter index math for consolidation and resharding."""
+    sz = np.asarray(sizes, np.int64)
+    tot = int(sz.sum())
+    cell_rep = np.repeat(np.arange(len(sz)), sz)
+    within = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(sz) - sz, sz)
+    return cell_rep, within
+
+
+def consolidate_sharded_index(path: str):
+    """Load a `save_sharded_index` directory back into a plain single-file
+    `IVFADCIndex` (payload on host, full dynamic-op support). The inverse of
+    sharding: matches the reference loader's environment-independence
+    (/root/reference/src/persistency.jl:82-134 restores anywhere). Requires
+    the whole payload to fit this host — Deep1B-scale directories should
+    reshard onto a mesh instead (`load_sharded_index` with any shard count).
+    """
+    from ivfadc_tpu.models.index import IVFADCIndex
+    from ivfadc_tpu.models.inverted import PostingStore
+
+    meta, config, coarse, quantizer, glayout, v1_layout = _load_header(path)
+    S = meta["n_shards"]
+    codes_b, ids_b, offs_b, _ = _read_shard_files(path, S, set(range(S)),
+                                                  v1_layout)
+    kc = config.kc
+    g_off, g_caps, g_sizes = (glayout["offsets"], glayout["caps"],
+                              glayout["sizes"])
+    total_cap = int(g_off[-1] + g_caps[-1]) if kc else 0
+    m = codes_b[0].shape[1]
+    codes = np.zeros((total_cap, m), codes_b[0].dtype)
+    ids = np.full(total_cap, -1, np.int64)
+    cell_rep, within = _row_moves(g_sizes)
+    if len(cell_rep):
+        old_shard = cell_rep % S
+        old_off = np.stack(offs_b).astype(np.int64)[old_shard, cell_rep]
+        src = old_off + within
+        dst = g_off[cell_rep] + within
+        # per-old-shard gather (blocks can be large; avoid an (S, cap) stack)
+        for s in range(S):
+            msk = old_shard == s
+            if msk.any():
+                codes[dst[msk]] = codes_b[s][src[msk]]
+                ids[dst[msk]] = ids_b[s][src[msk]]
+    store = PostingStore(kc, config.m, codes.dtype,
+                         offsets=g_off.astype(np.int64),
+                         caps=g_caps.astype(np.int64),
+                         sizes=g_sizes.astype(np.int64),
+                         codes=codes, ids=ids)
+    return IVFADCIndex(config, coarse, quantizer, store,
+                       np.dtype(meta["data_dtype"]), int(meta["dim"]))
+
+
+def _reshard_parts(path: str, meta, config, glayout, v1_layout, mesh):
+    """Re-deal a saved S-shard payload onto an S'-shard mesh (S' != S):
+    cell c moves from old shard c % S to new shard c % S'. The new layout is
+    derived process-invariantly from the replicated global histogram; each
+    process materializes rows only for new shards its devices address
+    (others zero-fill, exactly like the S' == S multi-host restore)."""
+    from ivfadc_tpu.parallel.mesh import SHARD_AXIS
+
+    S = meta["n_shards"]
+    S_new = mesh.shape[SHARD_AXIS]
+    kc = config.kc
+    g_sizes = np.asarray(glayout["sizes"], np.int64)
+    align = int(meta["align"])
+    offsets_per, sizes_per, caps_per, cap_shard, window = _shard_layout(
+        g_sizes, S_new, align)
+    addressable = _addressable_shards(mesh, S_new)
+    # old shard files needed = owners of cells whose NEW shard is addressable
+    cells = np.arange(kc)
+    needed = set((cells[np.isin(cells % S_new, list(addressable))] % S)
+                 .tolist())
+    codes_b, ids_b, offs_b, _ = _read_shard_files(path, S, needed, v1_layout)
+    any_loaded = next((s for s in range(S) if codes_b[s] is not None), None)
+    if any_loaded is None:
+        raise FileNotFoundError(f"no shard files found in {path}")
+    m = codes_b[any_loaded].shape[1]
+    guard = config.scan_chunk + 128
+    cap_pad = _round_up(cap_shard + guard, 128)
+    new_codes = np.zeros((S_new, cap_pad, m), codes_b[any_loaded].dtype)
+    new_ids = np.full((S_new, cap_pad), -1, np.int32)
+    cell_rep, within = _row_moves(g_sizes)
+    if len(cell_rep):
+        old_shard = cell_rep % S
+        new_shard = (cell_rep % S_new).astype(np.int64)
+        offs_full = np.zeros((S, kc), np.int64)
+        for s in range(S):
+            if offs_b[s] is not None:
+                offs_full[s] = offs_b[s]
+        src = offs_full[old_shard, cell_rep] + within
+        dst = offsets_per[new_shard, cell_rep] + within
+        new_addr = np.isin(new_shard, sorted(addressable))
+        for s in range(S):
+            msk = (old_shard == s) & new_addr
+            if msk.any():
+                new_codes[new_shard[msk], dst[msk]] = codes_b[s][src[msk]]
+                new_ids[new_shard[msk], dst[msk]] = ids_b[s][src[msk]]
+    return dict(
+        offsets=offsets_per.astype(np.int32),
+        sizes=sizes_per.astype(np.int32),
+        pq_codes=new_codes,
+        ids=new_ids,
+        window=window,
+        align=align,
+        max_cap=int(caps_per.max(initial=0)),
     )
+
+
+def load_sharded_index(path: str, mesh=None):
+    """Restore a sharded serving view from a `save_sharded_index` directory.
+
+    Mesh-portable: the mesh's shard count may DIFFER from the count the
+    directory was saved with — cells are re-dealt (c -> c % S') on load, so a
+    checkpoint built on 8 shards serves on 4 or 16 without a rebuild
+    (environment-independent restore, like the reference's loader,
+    /root/reference/src/persistency.jl:82-134). Decoded scan caches are
+    rebuilt on device (derived state). Single-process restore loads every
+    shard file; a multi-host restore reads only the files covering the
+    shards its devices address. To go back to a plain single-file index, use
+    `consolidate_sharded_index`.
+    """
+    from ivfadc_tpu.parallel.mesh import SHARD_AXIS, make_mesh
+    from ivfadc_tpu.parallel.sharded import ShardedIVFADCIndex
+
+    meta, config, coarse, quantizer, glayout, v1_layout = _load_header(path)
+    mesh = mesh if mesh is not None else make_mesh(n_data=1)
+    S = meta["n_shards"]
+    if mesh.shape[SHARD_AXIS] != S:
+        parts = _reshard_parts(path, meta, config, glayout, v1_layout, mesh)
+    else:
+        addressable = _addressable_shards(mesh, S)
+        codes_b, ids_b, offs_b, sizs_b = _read_shard_files(
+            path, S, addressable, v1_layout)
+        ref = next(i for i in range(S) if codes_b[i] is not None)
+        for s in range(S):          # zero-fill non-addressable shards' rows
+            if codes_b[s] is None:
+                codes_b[s] = np.zeros_like(codes_b[ref])
+                ids_b[s] = np.zeros_like(ids_b[ref])
+                offs_b[s] = np.zeros_like(offs_b[ref])
+                sizs_b[s] = np.zeros_like(sizs_b[ref])
+        shard_offsets = np.stack(offs_b)
+        shard_sizes = np.stack(sizs_b)
+        parts = dict(
+            offsets=shard_offsets,
+            sizes=shard_sizes,
+            pq_codes=np.stack(codes_b),
+            ids=np.stack(ids_b),
+            window=int(meta["window"]),
+            align=int(meta["align"]),
+            max_cap=int(meta["max_cap"]),
+        )
     base = ShardedIVFADCIndex._meta_base(config, coarse, quantizer, glayout,
                                          int(meta["dim"]))
     return ShardedIVFADCIndex._assemble(base, mesh, parts)

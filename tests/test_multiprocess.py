@@ -196,6 +196,24 @@ def test_wrap_and_incremental_refresh_under_process_group(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_reshard_on_load(tmp_path):
+    """Mesh-portable restore under a real process group: a directory saved
+    with S=4 shards (shard=4 x data=2 mesh) restores onto an S=8 mesh
+    (shard=8 x data=1) — each process re-deals cells to the new shard count
+    from the shared directory and search results stay identical."""
+    out = str(tmp_path)
+    sv = os.path.join(out, "sv")
+    _run_pair("build", out, sv, n_data=2)          # saved with 4 shards
+    a = np.load(os.path.join(out, "res_build_0.npz"))
+    _run_pair("load", out, sv, n_data=1)           # restored onto 8 shards
+    la = np.load(os.path.join(out, "res_load_0.npz"))
+    lb = np.load(os.path.join(out, "res_load_1.npz"))
+    np.testing.assert_array_equal(la["ids"], a["ids"])
+    np.testing.assert_array_equal(lb["ids"], a["ids"])
+    np.testing.assert_allclose(la["dists"], a["dists"], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_two_process_streamed_sharded_build(tmp_path):
     """Multi-host out-of-core ingest lifecycle: both processes stream the
     same TEXMEX files -> streamed sharded build -> replicated search

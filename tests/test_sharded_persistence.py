@@ -83,14 +83,100 @@ def test_roundtrip_two_level_coarse(tmp_path):
     _assert_same_search(sidx, restored, q, k=5, w=8)
 
 
-def test_mesh_size_mismatch_raises(tmp_path):
-    data = _clustered(512, 8, 4, seed=5)
-    mesh = make_mesh(n_shards=8)
-    sidx = ShardedIVFADCIndex.build(data, mesh, kc=16, k=16, m=2, seed=0)
-    path = str(tmp_path / "mismatch_idx")
+@pytest.mark.parametrize("s_new,n_data", [(2, 4), (8, 1)])
+def test_reshard_on_load(tmp_path, s_new, n_data):
+    """Mesh-portable restore: a directory saved with S=4 shards loads onto
+    S'=2 and S'=8 meshes with identical search results (cells re-dealt
+    c -> c % S' on load). The reference's loader is environment-independent
+    (/root/reference/src/persistency.jl:82-134); this is the sharded
+    equivalent — no rebuild needed to change the serving topology."""
+    data = _clustered(1024, 12, 8, seed=5)
+    mesh4 = make_mesh(n_shards=4, n_data=2)
+    sidx = ShardedIVFADCIndex.build(data, mesh4, kc=32, k=16, m=4, seed=0)
+    path = str(tmp_path / "reshard_idx")
     save_sharded_index(path, sidx)
-    with pytest.raises(ValueError, match="8 shards"):
-        load_sharded_index(path, make_mesh(n_shards=4, n_data=2))
+    restored = load_sharded_index(path, make_mesh(n_shards=s_new,
+                                                  n_data=n_data))
+    assert restored.n_shards == s_new
+    assert len(restored.index) == len(data)
+    q = data[np.random.RandomState(7).choice(len(data), 24, replace=False)]
+    _assert_same_search(sidx, restored, q)
+    # every id survives the re-deal exactly once
+    placed = np.asarray(restored.arrays["ids"])
+    placed = np.sort(placed[placed >= 0])
+    np.testing.assert_array_equal(placed, np.arange(len(data)))
+
+
+def test_reshard_roundtrips_back(tmp_path):
+    """S=4 -> save -> load S'=2 -> save -> load S''=4 stays identical."""
+    data = _clustered(768, 10, 6, seed=8)
+    mesh4 = make_mesh(n_shards=4, n_data=2)
+    sidx = ShardedIVFADCIndex.build(data, mesh4, kc=24, k=16, m=2, seed=0)
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    save_sharded_index(p1, sidx)
+    via2 = load_sharded_index(p1, make_mesh(n_shards=2, n_data=4))
+    save_sharded_index(p2, via2)
+    back4 = load_sharded_index(p2, mesh4)
+    q = data[:16]
+    _assert_same_search(sidx, back4, q)
+
+
+def test_consolidate_to_single_file_index(tmp_path):
+    """4-shard directory -> plain IVFADCIndex: payload reassembled on host,
+    search results identical, full dynamic-op support back."""
+    from ivfadc_tpu.parallel.persistence import consolidate_sharded_index
+    data = _clustered(1024, 12, 8, seed=9)
+    mesh4 = make_mesh(n_shards=4, n_data=2)
+    sidx = ShardedIVFADCIndex.build(data, mesh4, kc=32, k=16, m=4, seed=0)
+    path = str(tmp_path / "consol_idx")
+    save_sharded_index(path, sidx)
+    plain = consolidate_sharded_index(path)
+    assert len(plain) == len(data)
+    assert plain.store.has_payload
+    q = data[:24]
+    ids_s, d_s = sidx.search_padded(q, 10, w=4)
+    ids_p, d_p = plain.search_padded(q, 10, w=4)
+    np.testing.assert_array_equal(ids_s, ids_p)
+    np.testing.assert_allclose(d_s, d_p, rtol=1e-6, atol=1e-6)
+    # dynamic ops work on the consolidated index (the distributed-built
+    # sharded view's base was payload-free)
+    n0 = len(plain)
+    plain.push(data[0] + 0.01)
+    assert len(plain) == n0 + 1
+    plain.delete([n0])               # the pushed point got id n0
+    assert len(plain) == n0
+    # and it round-trips through single-file persistence
+    fp = str(tmp_path / "plain.npz")
+    plain.save(fp)
+    from ivfadc_tpu import IVFADCIndex as _I
+    re = _I.load(fp)
+    ids_r, _ = re.search_padded(q, 10, w=4)
+    np.testing.assert_array_equal(ids_p, ids_r)
+
+
+def test_consolidate_partitioned_host_index_matches_original(tmp_path):
+    """partition -> save -> consolidate reproduces the ORIGINAL host index
+    field-for-field (cell entries, sizes, search) — the strictest round-trip:
+    host -> shards -> directory -> host."""
+    from ivfadc_tpu.parallel.persistence import consolidate_sharded_index
+    data = _clustered(768, 10, 6, seed=10)
+    idx = IVFADCIndex.build(data, kc=24, k=16, m=3, seed=0)
+    mesh = make_mesh(n_shards=4, n_data=2)
+    sidx = ShardedIVFADCIndex(idx, mesh)
+    path = str(tmp_path / "consol_host")
+    save_sharded_index(path, sidx)
+    plain = consolidate_sharded_index(path)
+    assert len(plain) == len(idx)
+    for c in range(idx.config.kc):
+        i0, c0 = idx.store.cell_entries(c)
+        i1, c1 = plain.store.cell_entries(c)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_array_equal(c0, c1)
+    q = data[:16]
+    ids_h, d_h = idx.search_padded(q, 10, w=4)
+    ids_p, d_p = plain.search_padded(q, 10, w=4)
+    np.testing.assert_array_equal(ids_h, ids_p)
+    np.testing.assert_allclose(d_h, d_p, rtol=1e-6, atol=1e-6)
 
 
 def test_newer_format_version_raises(tmp_path):
