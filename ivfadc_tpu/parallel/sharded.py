@@ -237,6 +237,53 @@ def _patch_rows(arr, s_idx, r_idx, vals):
     return arr.at[s_idx, r_idx].set(vals)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _shift_rows(ids, threshold, delta):
+    """Device-side id shift: every live id > threshold moves by delta.
+    Padding slots are -1 and unaffected for threshold >= -1 (reference
+    _shift_inverse_index!, /root/reference/src/utils.jl:2-20)."""
+    return jnp.where(ids > threshold, ids + delta, ids)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _rank_shift_rows(ids, dels):
+    """Device-side rank shift after deletions: each surviving id drops by
+    the number of deleted ids below it. `dels` is sorted, bucket-padded
+    with an above-any-id sentinel (pads never affect the searchsorted)."""
+    return jnp.where(ids >= 0, ids - jnp.searchsorted(dels, ids), ids)
+
+
+@jax.jit
+def _locate_rows(ids_arr, targets):
+    """Flat positions of the rows holding the given external ids.
+    `targets` is sorted + sentinel-padded; returns (positions ascending with
+    -1 fill, number found). One device sweep — no host copy of the ids."""
+    flat = ids_arr.reshape(-1)
+    mask = jnp.isin(flat, targets)
+    pos = jnp.nonzero(mask, size=targets.shape[0], fill_value=-1)[0]
+    return pos, mask.sum()
+
+
+@jax.jit
+def _gather_rows(ids_arr, codes_arr, s_idx, r_idx):
+    """Fetch (ids, code rows) at the given per-shard coordinates."""
+    return ids_arr[s_idx, r_idx], codes_arr[s_idx, r_idx]
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "fill"))
+def _regather(arr, gidx, mask, *, mesh, fill):
+    """Shard-local CSR re-layout: out[s, j] = arr[s, gidx[s, j]] where
+    mask, else fill. Cells never change owner (c % S is fixed), so a
+    capacity regrow is a pure per-shard gather — no collectives."""
+    def local(a, g, mk):
+        out = jnp.take(a[0], g[0], axis=0)
+        mexp = mk[0].reshape(mk[0].shape + (1,) * (out.ndim - 1))
+        return jnp.where(mexp, out, fill)[None]
+    return shard_map(local, mesh=mesh,
+                     in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+                     out_specs=P(SHARD_AXIS), check_vma=False)(arr, gidx, mask)
+
+
 def _pad_bucket(n: int) -> int:
     p = 8
     while p < n:
@@ -293,11 +340,8 @@ class ShardedIVFADCIndex:
         parts["ids"] = np.pad(parts["ids"], ((0, 0), (0, pad)),
                               constant_values=-1)
         self._wire(index, mesh, parts, distributed=False)
-        # host snapshot of the shard layout + mutation log on the base store
-        # so refresh() can patch shard arrays in place after dynamic ops
-        self._h_offsets = np.asarray(parts["offsets"], np.int64)
-        self._h_sizes = np.asarray(parts["sizes"], np.int64).copy()
-        self._h_caps = np.asarray(parts["caps"], np.int64)
+        # mutation log on the base store so refresh() can patch shard
+        # arrays in place after dynamic ops on the host base
         self._mlog = index.store.attach_mutation_log()
         self._last_refresh = "init"
 
@@ -471,6 +515,26 @@ class ShardedIVFADCIndex:
             np.asarray(quantizer.rotation), repl)
         self.coarse = jax.tree_util.tree_map(
             lambda a: jax.device_put(np.asarray(a), repl), base.coarse)
+        # host snapshot of the per-shard layout, for refresh() patching and
+        # the native dynamic ops. Caps come exact from partition_store;
+        # otherwise (distributed build / sharded load) they are recovered
+        # from the offsets diff — the cumsum layout makes off[c+1] - off[c]
+        # the cell's capacity, with the guarded array tail bounding the last
+        # owner cell. Multi-host restores zero-fill non-owned shards' rows;
+        # native dynamic ops are single-process-gated so that's harmless.
+        off = np.asarray(parts["offsets"], np.int64)
+        self._h_offsets = off
+        self._h_sizes = np.asarray(parts["sizes"], np.int64).copy()
+        if "caps" in parts:
+            self._h_caps = np.asarray(parts["caps"], np.int64)
+        else:
+            guard = base.config.scan_chunk + _LANE
+            total = self.shard_pq_codes.shape[1] - guard
+            caps = np.diff(off, axis=1,
+                           append=np.full((off.shape[0], 1), total))
+            owner = (np.arange(base.config.kc) % self.n_shards)[None, :] \
+                == np.arange(self.n_shards)[:, None]
+            self._h_caps = np.where(owner, np.maximum(caps, 0), 0)
 
     def refresh(self) -> None:
         """Bring the shard arrays up to date after dynamic ops (push/delete)
@@ -483,9 +547,11 @@ class ShardedIVFADCIndex:
         not the index. Falls back to a full re-partition when the log
         overflowed or a cell outgrew its per-shard capacity/window."""
         if self._distributed_build:
-            raise NotImplementedError(
-                "a distributed-built sharded index has no single-host base "
-                "to re-partition from; rebuild with ShardedIVFADCIndex.build")
+            # distributed-built views have no host base to re-snapshot from;
+            # their dynamic ops (push/delete/... on THIS view) patch the
+            # shard arrays directly and need no refresh
+            self._last_refresh = "native"
+            return
         store = self.index.store
         log = self._mlog.drain() if getattr(self, "_mlog", None) else None
         if log is None or log["overflow"]:
@@ -507,11 +573,7 @@ class ShardedIVFADCIndex:
         self._last_refresh = "incremental"
 
     def _apply_incremental(self, store, cells, ops) -> None:
-        import jax.numpy as jnp
-        from ivfadc_tpu.ops import pq as pq_ops
-
         S = self.n_shards
-        shard_sh = NamedSharding(self.mesh, P(SHARD_AXIS))
         ids_arr = self.arrays["ids"]
         # 1) global id renumberings, in op order (padding slots are -1 and
         #    unaffected: shift only moves ids > threshold >= -1, rank only
@@ -525,10 +587,11 @@ class ShardedIVFADCIndex:
                 ids_arr = jnp.where(
                     ids_arr >= 0,
                     ids_arr - jnp.searchsorted(dels, ids_arr), ids_arr)
+        self.arrays["ids"] = ids_arr
         # 2) dirty cells: scatter current host-truth rows into the owner
         #    shard's slots (covering the old extent so shrunk cells clear)
+        s_idx, r_idx, id_vals, code_rows = [], [], [], []
         if cells:
-            s_idx, r_idx, id_vals, code_rows = [], [], [], []
             for c in cells:
                 s = c % S
                 o_dst = int(self._h_offsets[s, c])
@@ -548,50 +611,385 @@ class ShardedIVFADCIndex:
                 id_vals.append(idv)
                 code_rows.append(rows)
                 self._h_sizes[s, c] = new_sz
-        if cells and s_idx:
-            s_np = np.concatenate(s_idx)
-            r_np = np.concatenate(r_idx)
-            id_np = np.concatenate(id_vals)
-            code_np = np.concatenate(code_rows)
-            # bucket-pad so patch sizes hit a handful of jit shapes; the
-            # donated scatter then updates the big arrays in place instead
-            # of copying them (an eager .at[].set copies the whole array)
-            pad = _pad_bucket(len(s_np)) - len(s_np)
-            if pad:
-                s_np = np.concatenate([s_np, np.full(pad, s_np[0])])
-                r_np = np.concatenate([r_np, np.full(pad, r_np[0])])
-                id_np = np.concatenate([id_np, np.full(pad, id_np[0])])
-                code_np = np.concatenate(
-                    [code_np, np.broadcast_to(code_np[0], (pad, store.m))])
-            s_j = jnp.asarray(s_np, jnp.int32)
-            r_j = jnp.asarray(r_np, jnp.int32)
-            ids_arr = _patch_rows(ids_arr, s_j, r_j,
-                                  jnp.asarray(id_np, ids_arr.dtype))
-            # PQ codes are the persistence payload for both scan modes
-            self.shard_pq_codes = _patch_rows(self.shard_pq_codes, s_j, r_j,
-                                              jnp.asarray(code_np))
-            if self.scan_mode == "dense":
-                quantizer = self.index.quantizer
-                if self.scale is not None:
-                    rows_d = pq_ops.decode_rotated_int8(quantizer, code_np,
-                                                        self.scale)
-                else:
-                    rows_d = pq_ops.decode_rotated(quantizer, code_np)
-                dec = self.arrays["codes"]
-                d_pad = dec.shape[-1] - rows_d.shape[-1]
-                if d_pad:
-                    rows_d = jnp.pad(rows_d, ((0, 0), (0, d_pad)))
-                live = jnp.asarray(id_np >= 0)[:, None]
-                rows_d = jnp.where(live, rows_d, 0).astype(dec.dtype)
-                self.arrays["codes"] = _patch_rows(dec, s_j, r_j, rows_d)
+        if s_idx:
+            self._patch_payload(np.concatenate(s_idx), np.concatenate(r_idx),
+                                np.concatenate(id_vals),
+                                np.concatenate(code_rows))
+            self._upload_sizes()
+        self._sync_ids2d()
+
+    def _patch_payload(self, s_np, r_np, id_np, code_np) -> None:
+        """Scatter (id, code) rows into the stacked shard arrays at
+        coordinates (s_np, r_np), keeping the PQ codes, the dense decoded
+        cache, and the ids2d view in sync. Rows with id -1 clear their slot.
+        Bucket-padded so patch sizes hit a handful of jit shapes; the
+        donated scatter then updates the big arrays in place instead of
+        copying them (an eager .at[].set copies the whole array)."""
+        from ivfadc_tpu.ops import pq as pq_ops
+
+        m = self.index.store.m
+        pad = _pad_bucket(len(s_np)) - len(s_np)
+        if pad:
+            s_np = np.concatenate([s_np, np.full(pad, s_np[0])])
+            r_np = np.concatenate([r_np, np.full(pad, r_np[0])])
+            id_np = np.concatenate([id_np, np.full(pad, id_np[0])])
+            code_np = np.concatenate(
+                [code_np, np.broadcast_to(code_np[0], (pad, m))])
+        s_j = jnp.asarray(s_np, jnp.int32)
+        r_j = jnp.asarray(r_np, jnp.int32)
+        ids_arr = self.arrays["ids"]
+        self.arrays["ids"] = _patch_rows(ids_arr, s_j, r_j,
+                                         jnp.asarray(id_np, ids_arr.dtype))
+        # PQ codes are the persistence payload for both scan modes
+        self.shard_pq_codes = _patch_rows(self.shard_pq_codes, s_j, r_j,
+                                          jnp.asarray(code_np))
+        if self.scan_mode == "dense":
+            quantizer = self.index.quantizer
+            if self.scale is not None:
+                rows_d = pq_ops.decode_rotated_int8(quantizer, code_np,
+                                                    self.scale)
             else:
-                self.arrays["codes"] = self.shard_pq_codes
-            self.arrays["sizes"] = jax.device_put(
-                self._h_sizes.astype(np.int32), shard_sh)
-        self.arrays["ids"] = ids_arr
+                rows_d = pq_ops.decode_rotated(quantizer, code_np)
+            dec = self.arrays["codes"]
+            d_pad = dec.shape[-1] - rows_d.shape[-1]
+            if d_pad:
+                rows_d = jnp.pad(rows_d, ((0, 0), (0, d_pad)))
+            live = jnp.asarray(id_np >= 0)[:, None]
+            rows_d = jnp.where(live, rows_d, 0).astype(dec.dtype)
+            self.arrays["codes"] = _patch_rows(dec, s_j, r_j, rows_d)
+        else:
+            self.arrays["codes"] = self.shard_pq_codes
+        self._sync_ids2d()
+
+    def _upload_sizes(self) -> None:
+        self.arrays["sizes"] = jax.device_put(
+            self._h_sizes.astype(np.int32),
+            NamedSharding(self.mesh, P(SHARD_AXIS)))
+
+    def _sync_ids2d(self) -> None:
         if self.arrays.get("ids2d") is not None:
             self.arrays["ids2d"] = self.arrays["ids"].reshape(
-                S, -1, _LANE)
+                self.n_shards, -1, _LANE)
+
+    # -------------------------------------------------------- dynamic ops
+    # The reference supports insertion/deletion on ANY index
+    # (/root/reference/src/utils.jl:114,90-105). Host-based views delegate
+    # to the base index + incremental refresh; distributed-built / sharded-
+    # loaded views (payload-free base) patch the shard arrays natively:
+    # encode on device (centroids/codebooks are replicated), scatter rows
+    # into the owner shard's CSR block, replay id renumbering device-side.
+
+    def _require_native_ops(self) -> None:
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "native dynamic ops on a distributed-built sharded view are "
+                "single-controller only for now; on a multi-host runtime "
+                "save + consolidate/reshard, mutate, and re-load instead")
+
+    def _encode_batch(self, points: np.ndarray):
+        """Nearest cell + PQ codes for a batch, on device — the same
+        assignment/encode the base index uses for push
+        (reference _encode_point, /root/reference/src/utils.jl:148-161)."""
+        from ivfadc_tpu.ops import pq as pq_ops
+        q = jnp.asarray(points, jnp.float32)
+        cells, _ = self.coarse.search(q, 1)
+        cells = np.asarray(cells)[:, 0].astype(np.int64)
+        resid = q - self.coarse.centroids[jnp.asarray(cells)]
+        codes = np.asarray(pq_ops.encode(self.index.quantizer, resid,
+                                         metric=self.index.quant_metric))
+        return cells, codes
+
+    def push(self, point) -> None:
+        """Append with id = n (reference push!,
+        /root/reference/src/utils.jl:114). Works on host-based AND
+        distributed-built views."""
+        if not self._distributed_build:
+            self.index.push(point)
+            self.refresh()
+            return
+        self._require_native_ops()
+        self.index._check_push(np.asarray(point, np.float32))
+        cells, codes = self._encode_batch(np.asarray(point, np.float32)[None])
+        self._native_append(cells, codes,
+                            np.asarray([len(self.index)], np.int64))
+
+    def push_batch(self, points) -> None:
+        """Append many points (ids n..n+B-1), like IVFADCIndex.push_batch."""
+        if not self._distributed_build:
+            self.index.push_batch(points)
+            self.refresh()
+            return
+        self._require_native_ops()
+        points = np.asarray(points, np.float32)
+        if points.ndim != 2 or points.shape[1] != self.index.dim:
+            raise AssertionError(
+                f"push_batch expects (B, {self.index.dim}) points, "
+                f"got {points.shape}")
+        from ivfadc_tpu.config import DEVICE_ID_CAP, DTYPE_TO_BITS
+        bits = DTYPE_TO_BITS[self.index.config.index_dtype]
+        cap = min(1 << bits, DEVICE_ID_CAP)
+        n0 = len(self.index)
+        if n0 + len(points) > cap:
+            raise AssertionError(
+                f"Index would exceed capacity for dtype "
+                f"{self.index.config.index_dtype} ({cap} vectors)")
+        cells, codes = self._encode_batch(points)
+        self._native_append(
+            cells, codes, np.arange(n0, n0 + len(points), dtype=np.int64))
+
+    def push_front(self, point) -> None:
+        """Insert with id = 0, shifting every live id up by one
+        (reference pushfirst!, /root/reference/src/utils.jl:123,140-141)."""
+        if not self._distributed_build:
+            self.index.push_front(point)
+            self.refresh()
+            return
+        self._require_native_ops()
+        self.index._check_push(np.asarray(point, np.float32))
+        cells, codes = self._encode_batch(np.asarray(point, np.float32)[None])
+        self.arrays["ids"] = _shift_rows(self.arrays["ids"],
+                                         jnp.int32(-1), jnp.int32(1))
+        self._sync_ids2d()
+        self._native_append(cells, codes, np.zeros(1, np.int64))
+
+    def pop(self) -> np.ndarray:
+        """Remove & reconstruct the last-inserted point (id n-1)
+        (reference pop!, /root/reference/src/utils.jl:29,41-68)."""
+        if not self._distributed_build:
+            out = self.index.pop()
+            self.refresh()
+            return out
+        self._require_native_ops()
+        n = len(self.index)
+        if n == 0:
+            raise IndexError("pop from empty index")
+        cell, codes = self._fetch_by_id(n - 1)
+        self._native_delete(np.asarray([n - 1], np.int64))
+        return self.index._reconstruct_from(cell, codes)
+
+    def pop_front(self) -> np.ndarray:
+        """Remove & reconstruct id 0, shifting all ids down by one
+        (reference popfirst!, /root/reference/src/utils.jl:37)."""
+        if not self._distributed_build:
+            out = self.index.pop_front()
+            self.refresh()
+            return out
+        self._require_native_ops()
+        if len(self.index) == 0:
+            raise IndexError("pop from empty index")
+        cell, codes = self._fetch_by_id(0)
+        # _native_delete's rank shift IS the popfirst shift: every id > 0
+        # drops by exactly one
+        self._native_delete(np.zeros(1, np.int64))
+        return self.index._reconstruct_from(cell, codes)
+
+    def delete(self, ids) -> None:
+        """Delete by 0-based ids; surviving ids shift down to stay the
+        contiguous range {0..n'-1} (reference delete_from_index!,
+        /root/reference/src/utils.jl:90-105)."""
+        if not self._distributed_build:
+            self.index.delete(ids)
+            self.refresh()
+            return
+        self._require_native_ops()
+        dels = np.unique(np.asarray(list(ids), np.int64))
+        self._native_delete(dels)
+
+    def reconstruct(self, ext_id: int) -> np.ndarray:
+        """Decode the stored approximation of a point (non-destructive)."""
+        if not self._distributed_build:
+            return self.index.reconstruct(ext_id)
+        cell, codes = self._fetch_by_id(int(ext_id))
+        return self.index._reconstruct_from(cell, codes)
+
+    def _slot_to_cell(self, shard: int, slot: int) -> int:
+        """Owning cell of a per-shard slot: offsets are a cumsum layout,
+        so the owner is the last cell whose offset is <= slot (zero-cap
+        non-owner cells share boundaries and never win)."""
+        return int(np.searchsorted(self._h_offsets[shard], slot,
+                                   side="right") - 1)
+
+    def _fetch_by_id(self, ext_id: int):
+        """(cell, code row) for one external id, straight off the shards."""
+        pad = 8
+        targets = np.full(pad, 2**31 - 1, np.int64)
+        targets[0] = ext_id
+        pos, found = _locate_rows(
+            self.arrays["ids"],
+            jnp.asarray(targets, self.arrays["ids"].dtype))
+        if int(found) != 1:
+            raise KeyError(f"id {ext_id} not present in the index")
+        p = int(np.asarray(pos)[0])
+        cap_pad = self.arrays["ids"].shape[1]
+        s, slot = divmod(p, cap_pad)
+        idx = jnp.full(8, s, jnp.int32), jnp.full(8, slot, jnp.int32)
+        _, rows = _gather_rows(self.arrays["ids"], self.shard_pq_codes,
+                               *idx)
+        return self._slot_to_cell(s, slot), np.asarray(rows)[0].copy()
+
+    def _native_append(self, cells: np.ndarray, code_rows: np.ndarray,
+                       new_ids: np.ndarray) -> None:
+        """Scatter freshly-encoded rows into the owner shards' CSR tails."""
+        store = self.index.store
+        kc, S = store.kc, self.n_shards
+        counts = np.bincount(cells, minlength=kc).astype(np.int64)
+        new_sizes = store.sizes + counts
+        allc = np.arange(kc)
+        owners = allc % S
+        if (bool(np.any(new_sizes > self._h_caps[owners, allc]))
+                or bool(np.any(new_sizes > store.caps))
+                or int(new_sizes.max(initial=0)) > self.window):
+            self._regrow_distributed(new_sizes)
+        order = np.argsort(cells, kind="stable")
+        sc = cells[order]
+        within = np.arange(len(sc)) - np.searchsorted(sc, sc)
+        s_idx = (sc % S).astype(np.int32)
+        r_idx = (self._h_offsets[s_idx, sc] + store.sizes[sc]
+                 + within).astype(np.int32)
+        self._patch_payload(s_idx, r_idx, new_ids[order], code_rows[order])
+        store.sizes = new_sizes
+        self._h_sizes[owners, allc] = new_sizes
+        self._upload_sizes()
+
+    def _native_delete(self, dels: np.ndarray) -> None:
+        """Remove rows by external id: compact each dirty cell in place
+        (survivors keep order), then rank-shift every surviving id."""
+        store = self.index.store
+        n = len(self.index)
+        if dels.size == 0:
+            return
+        if int(dels[0]) < 0 or int(dels[-1]) >= n:
+            raise IndexError(
+                f"delete ids must be within [0, {n}), got "
+                f"[{int(dels[0])}, {int(dels[-1])}]")
+        D = len(dels)
+        Dp = _pad_bucket(D)
+        dels_p = np.concatenate(
+            [dels, np.full(Dp - D, np.int64(2**31 - 1))])
+        ids_dt = self.arrays["ids"].dtype
+        pos, found = _locate_rows(self.arrays["ids"],
+                                  jnp.asarray(dels_p, ids_dt))
+        if int(found) != D:
+            raise KeyError(
+                f"only {int(found)}/{D} of the requested ids are present")
+        pos = np.asarray(pos)[:D].astype(np.int64)
+        cap_pad = self.arrays["ids"].shape[1]
+        s_all = pos // cap_pad
+        slot_all = pos % cap_pad
+        cells_all = np.empty(D, np.int64)
+        for s in np.unique(s_all):
+            mk = s_all == s
+            cells_all[mk] = np.searchsorted(
+                self._h_offsets[s], slot_all[mk], side="right") - 1
+        dirty = np.unique(cells_all)
+        # fetch the dirty cells' current rows in one device gather
+        fs, fr = [], []
+        for c in dirty:
+            s, sz = int(c) % self.n_shards, int(store.sizes[c])
+            off = int(self._h_offsets[s, c])
+            fs.append(np.full(sz, s, np.int32))
+            fr.append(np.arange(off, off + sz, dtype=np.int32))
+        fs, fr = np.concatenate(fs), np.concatenate(fr)
+        n_rows = len(fs)
+        padN = _pad_bucket(n_rows) - n_rows
+        if padN:
+            fs = np.concatenate([fs, np.full(padN, fs[0])])
+            fr = np.concatenate([fr, np.full(padN, fr[0])])
+        got_ids, got_codes = _gather_rows(
+            self.arrays["ids"], self.shard_pq_codes,
+            jnp.asarray(fs), jnp.asarray(fr))
+        got_ids = np.array(got_ids)[:n_rows]      # writable host copies
+        got_codes = np.array(got_codes)[:n_rows]
+        # compact per cell: survivors in order, cleared tail
+        keep = ~np.isin(got_ids, dels)
+        id_vals = np.where(keep, got_ids, -1)
+        # stable partition: survivors first within each cell's span
+        o = 0
+        for c in dirty:
+            sz = int(store.sizes[c])
+            span_keep = keep[o:o + sz]
+            kcnt = int(span_keep.sum())
+            id_vals[o:o + kcnt] = got_ids[o:o + sz][span_keep]
+            id_vals[o + kcnt:o + sz] = -1
+            got_codes[o:o + kcnt] = got_codes[o:o + sz][span_keep]
+            got_codes[o + kcnt:o + sz] = 0
+            removed = sz - kcnt
+            s = int(c) % self.n_shards
+            store.sizes[c] -= removed
+            self._h_sizes[s, c] -= removed
+            o += sz
+        self._patch_payload(fs[:n_rows], fr[:n_rows],
+                            id_vals.astype(np.int64), got_codes)
+        self._upload_sizes()
+        # surviving ids shift down past the deleted ranks (device-side)
+        self.arrays["ids"] = _rank_shift_rows(self.arrays["ids"],
+                                              jnp.asarray(dels_p, ids_dt))
+        self._sync_ids2d()
+
+    def _regrow_distributed(self, new_sizes: np.ndarray) -> None:
+        """Re-layout the per-shard CSR blocks for a grown cell histogram.
+        Ownership (c % S) never changes, so the move is a pure shard-local
+        gather; the decoded scan caches are recomputed device-side by
+        _wire. Amortized: caps grow by at least 1.5x the new sizes."""
+        store = self.index.store
+        cfg = self.index.config
+        kc, S, a = store.kc, self.n_shards, max(int(self.align), 8)
+        cells = np.arange(kc)
+        owners = cells % S
+        grow = max(float(cfg.cell_slack), 1.5)
+        sizes_per_new = np.zeros((S, kc), np.int64)
+        sizes_per_new[owners, cells] = new_sizes
+        want = np.ceil(sizes_per_new * grow).astype(np.int64) + 8
+        caps_per = np.where(sizes_per_new > 0,
+                            np.maximum(a, ((want + a - 1) // a) * a), 0)
+        offsets_per = np.zeros((S, kc), np.int64)
+        np.cumsum(caps_per[:, :-1], axis=1, out=offsets_per[:, 1:])
+        cap_shard = _round_up(
+            int((offsets_per[:, -1] + caps_per[:, -1]).max()), _LANE)
+        guard = cfg.scan_chunk + _LANE
+        cap_pad = _round_up(cap_shard + guard, _LANE)
+        # gather maps for the CURRENT rows (pre-append truth)
+        gidx = np.zeros((S, cap_pad), np.int32)
+        mask = np.zeros((S, cap_pad), bool)
+        cur_sizes = np.asarray(store.sizes, np.int64)
+        tot = int(cur_sizes.sum())
+        if tot:
+            cell_rep = np.repeat(cells, cur_sizes)
+            within = np.arange(tot, dtype=np.int64) - \
+                np.repeat(np.cumsum(cur_sizes) - cur_sizes, cur_sizes)
+            s_rep = cell_rep % S
+            src = self._h_offsets[s_rep, cell_rep] + within
+            dst = offsets_per[s_rep, cell_rep] + within
+            gidx[s_rep, dst] = src
+            mask[s_rep, dst] = True
+        shard_sh = NamedSharding(self.mesh, P(SHARD_AXIS))
+        g = jax.device_put(gidx, shard_sh)
+        mk = jax.device_put(mask, shard_sh)
+        new_codes = _regather(self.shard_pq_codes, g, mk,
+                              mesh=self.mesh, fill=0)
+        new_ids = _regather(self.arrays["ids"], g, mk,
+                            mesh=self.mesh, fill=-1)
+        # global single-store-equivalent layout must keep holding the grown
+        # sizes too (save/consolidate/reshard derive from it)
+        g_want = np.ceil(new_sizes * grow).astype(np.int64) + 8
+        g_caps = np.maximum(a, ((g_want + a - 1) // a) * a)
+        g_off = np.zeros(kc, np.int64)
+        np.cumsum(g_caps[:-1], out=g_off[1:])
+        store.caps = g_caps
+        store.offsets = g_off
+        sizes_per_cur = np.zeros((S, kc), np.int64)
+        sizes_per_cur[owners, cells] = cur_sizes
+        parts = dict(
+            offsets=offsets_per.astype(np.int32),
+            sizes=sizes_per_cur.astype(np.int32),
+            caps=caps_per,
+            pq_codes=new_codes,
+            ids=new_ids,
+            window=_round_up(max(1, int(new_sizes.max(initial=0))), _LANE),
+            align=self.align,
+            max_cap=int(caps_per.max(initial=0)),
+        )
+        self._wire(self.index, self.mesh, parts, distributed=True)
 
     def _dispatch(self, queries, k: int, w: int, overlap: bool
                   ) -> Tuple[jax.Array, jax.Array, int]:

@@ -13,10 +13,16 @@ when either `max_batch` queries are waiting or the oldest request has
 waited `max_wait_ms`. Latency/throughput trade-off is explicit: max_wait
 bounds added latency, max_batch bounds per-dispatch work.
 
-Single-process, thread-safe for SEARCH. Dynamic index mutations
-(push/delete/pop) are not synchronized against in-flight dispatches — like
-the single-threaded reference, interleave them from the serving thread's
-point of view (quiesce or lock externally around mutation bursts).
+Single-process, thread-safe for search AND mutation: dynamic index
+mutations go through the searcher (`push`/`push_batch`/`push_front`/
+`pop`/`pop_front`/`delete`, or an arbitrary `mutate(fn)`), which takes the
+write side of a readers-writer lock while dispatches take the read side —
+every dispatch runs against a consistent index version (the store's device
+patches are DONATED in-place updates, so an unsynchronized mutation could
+invalidate buffers an in-flight dispatch still holds), and a mutation waits
+only for in-flight dispatches to drain (one batch, ~ms) before the next
+epoch opens. Mutating the wrapped index directly while submits are in
+flight is NOT supported — route mutations through the searcher.
 """
 
 from __future__ import annotations
@@ -38,6 +44,44 @@ class _Pending:
         self.queries = queries
         self.future = future
         self.t_enq = t_enq
+
+
+class _RWLock:
+    """Writer-preference readers-writer lock: search dispatches share the
+    read side; index mutations take the write side. Writer preference (new
+    readers wait once a writer is queued) keeps a steady query stream from
+    starving mutations."""
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+        self._writers_waiting = 0
+
+    def acquire_read(self) -> None:
+        with self._cond:
+            while self._writer or self._writers_waiting:
+                self._cond.wait()
+            self._readers += 1
+
+    def release_read(self) -> None:
+        with self._cond:
+            self._readers -= 1
+            if self._readers == 0:
+                self._cond.notify_all()
+
+    def acquire_write(self) -> None:
+        with self._cond:
+            self._writers_waiting += 1
+            while self._writer or self._readers:
+                self._cond.wait()
+            self._writers_waiting -= 1
+            self._writer = True
+
+    def release_write(self) -> None:
+        with self._cond:
+            self._writer = False
+            self._cond.notify_all()
 
 
 class BatchingSearcher:
@@ -69,6 +113,7 @@ class BatchingSearcher:
         self._closed = False
         self._pool = ThreadPoolExecutor(max_workers=pipeline,
                                         thread_name_prefix="ivfadc-dispatch")
+        self._view_lock = _RWLock()
         self._thread = threading.Thread(target=self._flusher, daemon=True,
                                         name="ivfadc-serving-flusher")
         self._thread.start()
@@ -100,6 +145,36 @@ class BatchingSearcher:
     def search(self, query, k: int, w: int = 1, timeout: float = None):
         """Blocking convenience around submit()."""
         return self.submit(query, k, w).result(timeout=timeout)
+
+    # --------------------------------------------------------- mutation API
+    def mutate(self, fn):
+        """Apply `fn(index)` under the write lock: waits for in-flight
+        dispatches to drain, excludes new ones while fn runs, then reopens.
+        Dispatches never observe a half-mutated store; dispatches submitted
+        after mutate() returns see the new index version."""
+        self._view_lock.acquire_write()
+        try:
+            return fn(self._index)
+        finally:
+            self._view_lock.release_write()
+
+    def push(self, point) -> None:
+        self.mutate(lambda ix: ix.push(point))
+
+    def push_batch(self, points) -> None:
+        self.mutate(lambda ix: ix.push_batch(points))
+
+    def push_front(self, point) -> None:
+        self.mutate(lambda ix: ix.push_front(point))
+
+    def pop(self) -> np.ndarray:
+        return self.mutate(lambda ix: ix.pop())
+
+    def pop_front(self) -> np.ndarray:
+        return self.mutate(lambda ix: ix.pop_front())
+
+    def delete(self, ids) -> None:
+        self.mutate(lambda ix: ix.delete(ids))
 
     def close(self, drain: bool = True) -> None:
         """Stop the flusher. drain=True (default) serves whatever is queued
@@ -173,7 +248,14 @@ class BatchingSearcher:
         queries = np.concatenate([p.queries for p in take])
         t0 = time.perf_counter()
         try:
-            ids, dists = self._index.search_padded(queries, k, w)
+            # read side of the view lock: the dispatch holds the current
+            # index version's device buffers; a concurrent mutate() (whose
+            # donated patches would invalidate them) waits for the drain
+            self._view_lock.acquire_read()
+            try:
+                ids, dists = self._index.search_padded(queries, k, w)
+            finally:
+                self._view_lock.release_read()
         except Exception as e:              # propagate to every caller
             for p in take:
                 p.future.set_exception(e)

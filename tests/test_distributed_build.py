@@ -130,8 +130,15 @@ def test_distributed_build_large_kc_zero_extent_cells():
     ids_r, _ = ref.search_padded(q, 5, w=4)
     same = [set(a[a >= 0]) == set(b[b >= 0]) for a, b in zip(ids_s, ids_r)]
     assert np.mean(same) == 1.0
-    # dynamic ops are defined on the single-host base only
-    with pytest.raises(NotImplementedError):
-        sidx.refresh()
+    # dynamic ops patch the shard arrays natively (no host base needed);
+    # refresh() is a no-op in this regime
+    sidx.refresh()
+    assert sidx._last_refresh == "native"
+    n0 = len(sidx.index)
+    sidx.push_batch(data[:4] + 0.01)
+    assert len(sidx.index) == n0 + 4
+    sidx.delete([0, n0 + 1])
+    assert len(sidx.index) == n0 + 2
+    # the base store itself stays payload-free
     with pytest.raises(RuntimeError):
         _ = sidx.index.store.codes

@@ -107,3 +107,66 @@ def test_serving_over_sharded_index(served_index):
     for i, (gi, gd) in enumerate(got):
         np.testing.assert_array_equal(gi, ids_d[i])
         np.testing.assert_allclose(gd, dists_d[i], rtol=1e-6)
+
+
+def test_concurrent_mutations_race_submits(served_index):
+    """Mutation-safety contract (serving.py module docstring): submit()
+    threads racing push_batch/delete through the searcher must neither
+    crash nor corrupt — every future resolves, and after quiescing the
+    served index matches a twin that applied the same mutations serially."""
+    import threading
+
+    data, _ = served_index
+    rng = np.random.RandomState(7)
+    idx = build_random_index(data)        # fresh clone (mutated below)
+    twin = build_random_index(data)       # serial-reference twin
+
+    extra = rng.rand(6, 10).astype(np.float32)
+    stop = threading.Event()
+    errors = []
+
+    with BatchingSearcher(idx, max_batch=16, max_wait_ms=1) as s:
+        def searcher_thread(seed):
+            r = np.random.RandomState(seed)
+            while not stop.is_set():
+                try:
+                    f = s.submit(data[r.randint(len(data))], 5, w=4)
+                    ids, dists = f.result(timeout=60)
+                    assert ids.shape == (5,)
+                    assert np.isfinite(dists[ids >= 0]).all()
+                except Exception as e:     # pragma: no cover - failure path
+                    errors.append(e)
+                    return
+
+        threads = [threading.Thread(target=searcher_thread, args=(t,))
+                   for t in range(4)]
+        for t in threads:
+            t.start()
+        # interleave mutation bursts with the query storm
+        for round_ in range(5):
+            s.push_batch(extra)
+            dels = sorted(rng.choice(len(data), 3, replace=False).tolist())
+            s.delete(dels)
+            s.push(extra[0] * 1.01)
+            popped = s.pop()
+            assert popped.shape == (10,)
+        stop.set()
+        for t in threads:
+            t.join(timeout=60)
+    assert not errors, errors
+
+    # post-quiesce parity vs the serially-mutated twin
+    rng2 = np.random.RandomState(7)
+    extra2 = rng2.rand(6, 10).astype(np.float32)
+    for round_ in range(5):
+        twin.push_batch(extra2)
+        dels = sorted(rng2.choice(len(data), 3, replace=False).tolist())
+        twin.delete(dels)
+        twin.push(extra2[0] * 1.01)
+        twin.pop()
+    assert len(idx) == len(twin)
+    np.testing.assert_array_equal(idx.store.sizes, twin.store.sizes)
+    qi, qd = idx.search_padded(data[:16], 5, w=4)
+    ti, td = twin.search_padded(data[:16], 5, w=4)
+    np.testing.assert_array_equal(qi, ti)
+    np.testing.assert_allclose(qd, td, rtol=1e-5)
