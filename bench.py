@@ -49,13 +49,14 @@ def main():
     m, kq, d = 8, 256, 128
     nprobe, topk = 8, 10
     n_gt = min(nq, 1000)          # queries used for recall ground truth
-    n_oracle = min(nq, 200)       # queries used for oracle QPS baseline
+    n_oracle = min(nq, 1000)      # queries used for oracle QPS baseline
 
     from ivfadc_tpu import IVFADCIndex
     from ivfadc_tpu.utils.datasets import (load_or_synthesize,
                                            synthetic_clustered_device)
     from ivfadc_tpu.utils.evaluation import brute_force_topk, recall_at_r
-    from ivfadc_tpu.utils.timing import roundtrip_latency, true_time
+    from ivfadc_tpu.utils.timing import (chain_time, roundtrip_latency,
+                                         roundtrip_stats, true_time)
     from benchmarks.oracle import ReferenceOracle
 
     t_all = time.time()
@@ -157,10 +158,25 @@ def main():
     # single-call samples are RTT-dominated on tunneled runtimes: when the
     # baseline-subtracted p50 lands below the RTT jitter, report the jitter
     # floor instead of a meaningless 0.0 (rpc_roundtrip_ms in the output
-    # gives the absolute floor any single dispatch actually pays)
-    lat_floor_ms = 0.05 * base_lat * 1e3
+    # gives the absolute floor any single dispatch actually pays). The floor
+    # is EMPIRICAL — the measured stddev of the round-trip itself — and a
+    # fired clamp is flagged per batch size so a masked regression is
+    # visible in the JSON (ADVICE r3).
+    rt = roundtrip_stats()
+    lat_floor_ms = rt["std"] * 1e3
+    lat_clamped = {}
     for bsz in tiny_lat_ms:
+        lat_clamped[bsz] = tiny_lat_ms[bsz] < lat_floor_ms
         tiny_lat_ms[bsz] = max(tiny_lat_ms[bsz], lat_floor_ms)
+
+    # --- on-chip B=1 latency: a data-dependent chain of single-query
+    # searches inside ONE jitted program — tunnel-independent (the RPC is
+    # paid once per chain, not per query), so BASELINE's "p50 query
+    # latency" gets a real on-chip number next to the RTT-floored one ---
+    chain_iters = 256 if on_accel else 4
+    b1_onchip_s = chain_time(
+        lambda q: index._device_search(q, topk, nprobe),
+        qdev[:1], iters=chain_iters, baseline=base_lat)
 
     # --- oracle baseline (reference algorithm, single core, this host) ---
     oracle = ReferenceOracle.from_index(index)
@@ -186,6 +202,10 @@ def main():
         "p50_query_latency_us": round(p50_batch_ms / batch * 1e3, 2),
         "p50_latency_b1_ms": round(tiny_lat_ms[1], 3),
         "p50_latency_b8_ms": round(tiny_lat_ms[8], 3),
+        "p50_latency_b1_clamped": bool(lat_clamped[1]),
+        "p50_latency_b8_clamped": bool(lat_clamped[8]),
+        "latency_floor_ms": round(lat_floor_ms, 3),
+        "p50_latency_b1_onchip_ms": round(b1_onchip_s * 1e3, 3),
         "gt_source": "ivecs" if gt_file_i is not None else "brute_force",
         "rpc_roundtrip_ms": round(base_lat * 1e3, 2),
         # the chip is time-shared on tunneled runtimes: wave QPS includes

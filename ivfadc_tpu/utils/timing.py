@@ -44,6 +44,61 @@ def roundtrip_latency(samples: int = 3) -> float:
     return (time.perf_counter() - t0) / samples
 
 
+def roundtrip_stats(samples: int = 12) -> dict:
+    """Per-sample round-trip timings: mean + empirical jitter (stddev, max
+    deviation above the mean). The jitter is the honest resolution floor of
+    any single-dispatch latency measurement on this runtime — a
+    baseline-subtracted p50 below it is indistinguishable from zero."""
+    acc = jnp.float32(0)
+    float(_fold(acc, jnp.float32(1)))      # warm
+    ts = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        float(_fold(acc, jnp.float32(1)))
+        ts.append(time.perf_counter() - t0)
+    import statistics
+    mean = statistics.fmean(ts)
+    std = statistics.pstdev(ts)
+    return {"mean": mean, "std": std,
+            "max_over_mean": max(ts) - mean, "samples": samples}
+
+
+def chain_time(step_fn: Callable, x0, iters: int = 256,
+               perturb: float = 1e-6, baseline: float = None) -> float:
+    """Tunnel-independent per-call latency: serialize `iters` calls of
+    `step_fn` *inside one jitted program* via a data dependence (each step's
+    input is perturbed by a scalar folded from the previous step's outputs),
+    so the device cannot overlap them; wall time / iters is true on-chip
+    latency, unaffected by RPC round trips (paid once per chain, subtracted
+    via `baseline`).
+
+    `step_fn(x) -> pytree` must be traceable (pure JAX) on input shaped like
+    `x0`. Outputs are folded through `nan_to_num`, so -inf pad sentinels in
+    the outputs don't poison the chain."""
+    import jax.lax as lax
+
+    @jax.jit
+    def chain(x):
+        def step(q, _):
+            outs = step_fn(q)
+            s = jnp.float32(0)
+            for leaf in jax.tree_util.tree_leaves(outs):
+                v = jax.lax.convert_element_type(leaf.ravel()[0], jnp.float32)
+                s = s + jnp.nan_to_num(v, posinf=1.0, neginf=-1.0)
+            # keep inputs bounded: perturb around x0, not cumulatively
+            return x + perturb * jnp.tanh(s), ()
+        xf, _ = lax.scan(step, x, None, length=iters)
+        return jnp.sum(xf)
+
+    if baseline is None:
+        baseline = roundtrip_latency()
+    float(chain(x0))                       # compile + warm
+    t0 = time.perf_counter()
+    float(chain(x0))
+    dt = time.perf_counter() - t0
+    return max(0.0, dt - baseline) / iters
+
+
 def true_time(fn: Callable, reps: int = 20, warm: int = 2,
               baseline: float = None) -> float:
     """Mean per-call wall time of `fn`, amortizing RPC latency across `reps`
