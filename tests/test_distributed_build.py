@@ -111,6 +111,7 @@ def test_distributed_build_recall_parity_with_single_host_build():
     assert r_s >= r_1 - 0.05, (r_s, r_1)
 
 
+@pytest.mark.heavy                # ~50 s: interpret-mode kernels at kc=4096
 def test_distributed_build_large_kc_zero_extent_cells():
     """kc >= 4096: non-local cells take zero rows per shard (no kc*align*S
     padding blow-up), and search still answers correctly."""

@@ -18,6 +18,8 @@ engine is in the other's set or scores within tolerance of its k-th best).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy    # full gate-lattice walk, ~70 s total
+
 from ivfadc_tpu import IVFADCIndex
 
 _RT = 2e-2          # int8 decoded-cache tolerance (test_oracle_parity.py)

@@ -22,6 +22,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy    # ~25-30 s each: real 2-process groups
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = r'''

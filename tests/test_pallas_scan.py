@@ -126,6 +126,7 @@ def test_dense_scan_int8_dynamic_patch_matches_rebuild():
     np.testing.assert_allclose(d_a, d_b, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.heavy                # ~17 s: multi-segment interpret-mode scan
 def test_dense_scan_segmented_matches_single_launch(monkeypatch):
     # huge-kc probe counts split dense_scan into multiple launches to fit
     # the SMEM scalar-prefetch budget; shrink the segment size so the

@@ -66,6 +66,7 @@ def test_fold_merge_matches_exact_small_cells():
     np.testing.assert_allclose(out["exact"][1], out["fold"][1], rtol=1e-6)
 
 
+@pytest.mark.heavy                # ~15 s: large-cell fold-buffer stress
 def test_fold_merge_recall_large_cells():
     """One big cell (>> 128 postings): fold may drop colliding candidates but
     top-1 is always exact and recall@10 must stay near the exact merge."""
@@ -88,6 +89,7 @@ def test_fold_merge_recall_large_cells():
     assert rec["fold"] >= rec["exact"] - 0.02, rec
 
 
+@pytest.mark.heavy                # ~9 s: kc=2^14 two-level coarse stress
 def test_two_level_scan_stage2_large_kc():
     """kc above the gather cutoff routes coarse stage 2 through the grouped
     Pallas scan; probed cells must be (approximately) the true nearest —
