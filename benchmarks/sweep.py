@@ -51,6 +51,9 @@ def main():
 
     idx = IVFADCIndex.build(based, kc=kc, k=256, m=m, seed=0,
                             kmeanspp_sample=min(n, 65536))
+    ms = idx.memory_stats()
+    print(json.dumps({"config": cfg_name, "n": n, "d": d, "m": m,
+                      "memory_stats": ms}), file=sys.stderr)
     _, gt_i = brute_force_topk(based, qdev[:nq], topk)
     bl = roundtrip_latency()
     for nprobe in (1, 2, 4, 8, 16, 32, 64):

@@ -88,12 +88,50 @@ def _train_codebooks(key, subspaces, k, maxiter, metric, block):
     return jax.vmap(train_one)(keys, subspaces)
 
 
+def _train_codebooks_seq(key, residuals, m, k, maxiter, metric, block):
+    """Per-subspace sequential training for large inputs.
+
+    The vmapped `_train_codebooks` needs a materialized (m, n, dsub)
+    transpose copy plus a padded-blocks copy of it — ~2x the residual bytes
+    of EXTRA resident HBM, which OOMs a 1M x 960 GIST-scale build on a
+    16 GB chip. Slicing one (n, dsub) subspace at a time keeps the peak at
+    residuals + one subspace; the jitted k-means program is compiled once
+    (identical shapes) and dispatched m times, so only the vmap's batched-
+    dispatch win is lost (negligible: each subspace k-means is MXU-bound at
+    these n). Same per-subspace keys as the vmap path."""
+    n, d = residuals.shape
+    dsub = d // m
+    keys = jax.random.split(key, m)
+    cbs = []
+    for i in range(m):
+        xs = jax.lax.slice_in_dim(residuals, i * dsub, (i + 1) * dsub, axis=1)
+        res = kmeans_ops._kmeans_impl(
+            xs, k, maxiter, block, metric,
+            kmeans_ops.kmeans_plus_plus(keys[i], xs, k, metric))
+        cbs.append(res[0])
+    return jnp.stack(cbs)
+
+
+# subspace tensors bigger than this train sequentially (see
+# _train_codebooks_seq); tests shrink it to cover the path cheaply
+_SEQ_TRAIN_BYTES = 2 << 30
+
+
 @functools.partial(jax.jit, static_argnames=("metric",))
 def _encode_subspaces(codebooks, subspaces, metric):
     """subspaces (m, n, dsub) x codebooks (m, k, dsub) -> codes (n, m) int32."""
     def enc_one(xs, cb):
         return jnp.argmin(metric.pairwise(xs, cb), axis=1).astype(jnp.int32)
     return jax.vmap(enc_one)(subspaces, codebooks).T
+
+
+def _encode_chunked(codebooks, x, metric, block: int = 65536):
+    """Chunked-over-n encode of already-rotated (n, d) data: the full-n
+    (m, n, k) distance tensor would be ~16 GB at GIST scale."""
+    n = x.shape[0]
+    outs = [_encode_impl(codebooks, None, x[s:s + block], metric, False)
+            for s in range(0, max(n, 1), block)]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 def train_quantizer(key: jax.Array, residuals: jax.Array, *, m: int, k: int,
@@ -116,9 +154,13 @@ def train_quantizer(key: jax.Array, residuals: jax.Array, *, m: int, k: int,
     block = min(block, max(256, n))
     eye = jnp.eye(d, dtype=jnp.float32)
 
+    seq = residuals.size * 4 > _SEQ_TRAIN_BYTES
+
     if method == "pq":
-        cb = _train_codebooks(key, _to_subspaces(residuals, m), k, maxiter,
-                              metric, block)
+        cb = _train_codebooks_seq(key, residuals, m, k, maxiter, metric,
+                                  block) if seq else \
+            _train_codebooks(key, _to_subspaces(residuals, m), k, maxiter,
+                             metric, block)
         return ProductQuantizer(cb, eye, "pq")
 
     if method != "opq":
@@ -132,9 +174,11 @@ def train_quantizer(key: jax.Array, residuals: jax.Array, *, m: int, k: int,
     cb = None
     for it in range(max(1, opq_iters)):
         xr = residuals @ rot
-        cb = _train_codebooks(jax.random.fold_in(key, it),
-                              _to_subspaces(xr, m), k, maxiter, metric, block)
-        codes = _encode_subspaces(cb, _to_subspaces(xr, m), metric)
+        kit = jax.random.fold_in(key, it)
+        cb = _train_codebooks_seq(kit, xr, m, k, maxiter, metric, block) \
+            if seq else _train_codebooks(kit, _to_subspaces(xr, m), k,
+                                         maxiter, metric, block)
+        codes = _encode_chunked(cb, xr, metric)
         recon = _reconstruct_rotated(cb, codes)          # (n, d) in rotated space
         # The Procrustes SVD is a tiny (d, d) problem solved once per outer
         # iteration — do it on host in float64 so the rotation stays orthogonal
@@ -178,6 +222,10 @@ def encode(pq: ProductQuantizer, residuals: jax.Array,
     n = residuals.shape[0]
     apply_rot = pq.method == "opq"
     outs = []
+    # cap the (m, block, k) distance tensor at ~1 GB f32: the default block
+    # is sized for SIFT-shape m*k; GIST-scale m=16+ would transiently
+    # allocate 4+ GB per chunk otherwise
+    block = max(4096, min(block, (1 << 28) // max(pq.m * pq.k, 1)))
     # max(n, 1): an empty batch must encode to an empty (0, m) array, not
     # crash jnp.concatenate (same guard as decode_rotated below)
     for start in range(0, max(n, 1), block):

@@ -134,3 +134,46 @@ def test_encode_empty_batch():
                                             jnp.float32), m=4, k=8)
     codes = pq_ops.encode(pq, jnp.zeros((0, 16), jnp.float32))
     assert codes.shape == (0, 4)
+
+
+def test_sequential_trainer_matches_vmap_path(monkeypatch):
+    """Large inputs train per-subspace sequentially (HBM: the vmapped path
+    needs a (m, n, dsub) transpose copy + a padded copy — OOMs 1M x 960 on
+    a 16 GB chip). Same keys, same math -> codebooks must match the vmapped
+    path bit-for-bit (both run the identical _kmeans_impl per subspace)."""
+    x = _data(n=600, d=24, seed=3)
+    q_vmap = pq_ops.train_quantizer(jax.random.PRNGKey(5), jnp.asarray(x),
+                                    m=4, k=8, maxiter=6)
+    monkeypatch.setattr(pq_ops, "_SEQ_TRAIN_BYTES", 0)  # force seq path
+    q_seq = pq_ops.train_quantizer(jax.random.PRNGKey(5), jnp.asarray(x),
+                                   m=4, k=8, maxiter=6)
+    np.testing.assert_allclose(np.asarray(q_seq.codebooks),
+                               np.asarray(q_vmap.codebooks), rtol=1e-5)
+    c1 = pq_ops.encode(q_vmap, jnp.asarray(x))
+    c2 = pq_ops.encode(q_seq, jnp.asarray(x))
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_opq_sequential_path_still_orthogonal(monkeypatch):
+    monkeypatch.setattr(pq_ops, "_SEQ_TRAIN_BYTES", 0)
+    rng = np.random.RandomState(7)
+    x = (rng.randn(300, 12) @ rng.randn(12, 12)).astype(np.float32)
+    q = pq_ops.train_quantizer(jax.random.PRNGKey(1), jnp.asarray(x),
+                               m=3, k=8, maxiter=6, method="opq",
+                               opq_iters=2)
+    r = np.asarray(q.rotation)
+    np.testing.assert_allclose(r @ r.T, np.eye(12), atol=1e-4)
+    codes = pq_ops.encode(q, jnp.asarray(x))
+    rec = np.asarray(pq_ops.decode(q, codes))
+    assert np.mean((rec - x) ** 2) < np.mean(x ** 2)
+
+
+def test_encode_chunked_matches_full():
+    x = _data(n=500, d=16, seed=9)
+    q = pq_ops.train_quantizer(jax.random.PRNGKey(0), jnp.asarray(x),
+                               m=4, k=16, maxiter=8)
+    full = pq_ops._encode_chunked(q.codebooks, jnp.asarray(x), SQEUCLIDEAN,
+                                  block=10**9)
+    chunked = pq_ops._encode_chunked(q.codebooks, jnp.asarray(x), SQEUCLIDEAN,
+                                     block=64)
+    assert np.array_equal(np.asarray(full), np.asarray(chunked))
