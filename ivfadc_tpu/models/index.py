@@ -58,6 +58,14 @@ def _env_rank_engine() -> str:
 def _env_coarse_engine() -> str:
     return os.environ.get("IVFADC_COARSE_ENGINE", "v1")
 
+
+def _env_merge_topk() -> str:
+    # "pallas" (fused payload top-k kernel) | "approx" (TPU ApproxTopK HLO
+    # via lax.approx_min_k + payload gather; recall_target via
+    # IVFADC_MERGE_RECALL, default 0.95 — adds ~sub-% merge-stage recall
+    # loss on top of the fold buffers' ~0.1%)
+    return os.environ.get("IVFADC_MERGE_TOPK", "pallas")
+
 # auto-cap for PQ codebook training when quantization_sample is unset (0)
 _PQ_TRAIN_AUTOCAP = 1 << 20
 
@@ -215,7 +223,8 @@ def _dense_probe(cq, rotation, queries, *, w: int, metric: Metric,
     static_argnames=("k", "w", "chunk", "pb", "merge", "nf", "pos8",
                      "metric", "include_base", "apply_rot", "residual_based",
                      "interpret", "gather_win", "gather_all",
-                     "coarse_engine", "extract", "rank_engine"))
+                     "coarse_engine", "extract", "rank_engine",
+                     "merge_topk"))
 def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, dscale,
                        ids2d, queries,
                        *, k: int, w: int, chunk: int, pb: int, merge: str,
@@ -225,7 +234,8 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, dscale,
                        gather_win: int = 0, gather_all: bool = False,
                        coarse_engine: str | None = None,
                        extract: bool = False,
-                       rank_engine: str | None = None):
+                       rank_engine: str | None = None,
+                       merge_topk: str = "pallas"):
     """Pallas dense-scan search: coarse probe -> cell-grouped DMA'd matmul
     scan with on-chip top-k -> global merge. Mathematically identical scores
     to the LUT path (up to bf16 rounding): see ops/pallas_scan.py."""
@@ -240,7 +250,7 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, dscale,
         k=k, w=w, chunk=chunk, pb=pb, merge=merge, nf=nf,
         norm_coef=norm_coef, pos8=pos8, interpret=interpret,
         gather_win=gather_win, gather_all=gather_all,
-        extract=extract, rank_engine=rank_engine)
+        extract=extract, rank_engine=rank_engine, merge_topk=merge_topk)
     return out_ids, metric.finalize(out_dists)
 
 
@@ -254,11 +264,21 @@ def _pad_to_k(out_ids, out_dists, k):
     return out_ids, out_dists
 
 
-def _topk_ids(flat_d, flat_i, k, interpret):
+def _topk_ids(flat_d, flat_i, k, interpret, engine: str = "pallas"):
     """Top-k over id-payload candidate rows -> ((B, k) ids, (B, k) dists),
     inf-padded past the per-query candidate supply."""
     from ivfadc_tpu.ops.topk import topk_lastdim_payload
     k_eff = min(k, flat_d.shape[1])
+    if engine == "approx" and k_eff <= flat_d.shape[1]:
+        # TPU ApproxTopK HLO: partial-reduce bins + aggregate — the same
+        # accept-tiny-loss trade the fold buffers already make. Exact on
+        # CPU (lowers to a full sort there).
+        rt = float(os.environ.get("IVFADC_MERGE_RECALL", "0.95"))
+        out_dists, idx = jax.lax.approx_min_k(flat_d, k_eff,
+                                              recall_target=rt)
+        out_ids = jnp.take_along_axis(flat_i, idx, axis=1)
+        out_ids = jnp.where(jnp.isfinite(out_dists), out_ids, -1)
+        return _pad_to_k(out_ids, out_dists, k)
     if flat_d.shape[1] % 128 != 0:
         # pad the candidate row to a lane multiple so the fused Pallas
         # top-k kernel applies instead of the XLA fallback
@@ -297,7 +317,7 @@ def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, dscale,
                   ids2d, *,
                   k, w, chunk, pb, merge, nf, norm_coef, interpret,
                   pos8=False, gather_win=0, gather_all=False,
-                  extract=False, rank_engine=None):
+                  extract=False, rank_engine=None, merge_topk="pallas"):
     """Engine selection + scan + per-device merge: returns raw (ids, dists)
     — callers apply `metric.finalize` exactly once (the sharded path merges
     across shards first). Shared by single-chip and shard-local search."""
@@ -328,7 +348,7 @@ def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, dscale,
         flat_d = out_d.reshape(B, w * n_cand)
         flat_p = out_p.reshape(B, w * n_cand)
         if emit_ids:
-            return _topk_ids(flat_d, flat_p, k, interpret)
+            return _topk_ids(flat_d, flat_p, k, interpret, merge_topk)
         return _topk_positions(flat_d, flat_p, k, cells, offsets, merge,
                                n_cand, ids, interpret)
 
@@ -709,7 +729,8 @@ class IVFADCIndex:
                 interpret=jax.default_backend() == "cpu",
                 gather_win=gather_win, gather_all=gather_all,
                 coarse_engine=_env_coarse_engine(),
-                extract=_env_extract(), rank_engine=_env_rank_engine())
+                extract=_env_extract(), rank_engine=_env_rank_engine(),
+                merge_topk=_env_merge_topk())
         else:
             dev = self.store.device_view()
             out_ids, out_dists = _search_impl(

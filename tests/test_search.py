@@ -226,3 +226,20 @@ def test_autotune_rejects_bad_queries_and_lut_mode():
     dense = IVFADCIndex.build(data, kc=8, m=4, k=16, scan_mode="dense")
     with pytest.raises(AssertionError):
         dense.autotune(data[0], k=3, w=2)       # 1-D queries
+
+
+def test_merge_topk_approx_engine_matches_on_cpu(monkeypatch):
+    """IVFADC_MERGE_TOPK=approx routes the final merge through
+    lax.approx_min_k (TPU ApproxTopK HLO). On CPU that op lowers to an
+    exact sort, so results must match the default fused-Pallas merge
+    exactly — this pins the plumbing + payload-gather correctness; the
+    recall/time trade on hardware is measured by benchmarks/ab_merge.py."""
+    rng = np.random.RandomState(11)
+    data = rng.rand(2000, 16).astype(np.float32)
+    idx = build_random_index(data, kc=16, k=16, m=2)
+    q = data[:64] + 0.01 * rng.randn(64, 16).astype(np.float32)
+    ids_a, d_a = idx.search_padded(q, 5, w=4)
+    monkeypatch.setenv("IVFADC_MERGE_TOPK", "approx")
+    ids_b, d_b = idx.search_padded(q, 5, w=4)
+    assert np.array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(d_a, d_b, rtol=1e-6)
