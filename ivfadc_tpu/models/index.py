@@ -63,8 +63,14 @@ def _env_merge_topk() -> str:
     # "pallas" (fused payload top-k kernel) | "approx" (TPU ApproxTopK HLO
     # via lax.approx_min_k + payload gather; recall_target via
     # IVFADC_MERGE_RECALL, default 0.95 — adds ~sub-% merge-stage recall
-    # loss on top of the fold buffers' ~0.1%)
-    return os.environ.get("IVFADC_MERGE_TOPK", "pallas")
+    # loss on top of the fold buffers' ~0.1%). The recall target is folded
+    # into the engine string ("approx:0.95") so it participates in the jit
+    # cache key — a bare env read inside the traced fn would be baked into
+    # the first compile and silently ignore later changes.
+    eng = os.environ.get("IVFADC_MERGE_TOPK", "pallas")
+    if eng == "approx":
+        return f"approx:{float(os.environ.get('IVFADC_MERGE_RECALL', '0.95'))}"
+    return eng
 
 # auto-cap for PQ codebook training when quantization_sample is unset (0)
 _PQ_TRAIN_AUTOCAP = 1 << 20
@@ -269,11 +275,13 @@ def _topk_ids(flat_d, flat_i, k, interpret, engine: str = "pallas"):
     inf-padded past the per-query candidate supply."""
     from ivfadc_tpu.ops.topk import topk_lastdim_payload
     k_eff = min(k, flat_d.shape[1])
-    if engine == "approx" and k_eff <= flat_d.shape[1]:
+    if engine.startswith("approx"):
         # TPU ApproxTopK HLO: partial-reduce bins + aggregate — the same
         # accept-tiny-loss trade the fold buffers already make. Exact on
-        # CPU (lowers to a full sort there).
-        rt = float(os.environ.get("IVFADC_MERGE_RECALL", "0.95"))
+        # CPU (lowers to a full sort there). recall_target rides in the
+        # engine string (static arg) so env changes retrace correctly.
+        _, _, rt_s = engine.partition(":")
+        rt = float(rt_s) if rt_s else 0.95
         out_dists, idx = jax.lax.approx_min_k(flat_d, k_eff,
                                               recall_target=rt)
         out_ids = jnp.take_along_axis(flat_i, idx, axis=1)

@@ -62,7 +62,14 @@ def kmeans_plus_plus(key: jax.Array, x: jax.Array, k: int,
     def body(j, carry):
         centers, mind = carry
         kj = jax.random.fold_in(kloop, j)
-        w = jnp.maximum(mind, 0.0)
+        # D^2 sampling weight. Metrics whose "distances" can go negative
+        # (inner_product returns -<x,c>) would have every near point's
+        # weight clipped to 0 — for all-positive-orthant data that zeroes
+        # the TOTAL mass and silently degrades to uniform picks each step.
+        # Shift by the (non-positive) minimum first: ordering is preserved,
+        # farthest points keep the largest weight, and sqeuclidean-family
+        # metrics (min >= 0) are bit-unchanged.
+        w = jnp.maximum(mind - jnp.minimum(jnp.min(mind), 0.0), 0.0)
         cum = jnp.cumsum(w)
         total = cum[-1]
         u = jax.random.uniform(kj, ()) * jnp.maximum(total, 1e-30)

@@ -244,7 +244,10 @@ def consolidate_sharded_index(path: str):
     kc = config.kc
     g_off, g_caps, g_sizes = (glayout["offsets"], glayout["caps"],
                               glayout["sizes"])
-    total_cap = int(g_off[-1] + g_caps[-1]) if kc else 0
+    # NOT g_off[-1] + g_caps[-1]: a grown cell relocates to the END of the
+    # flat arrays, making the layout non-monotone (PostingStore.total_cap
+    # uses the same max for the same reason, models/inverted.py)
+    total_cap = int((g_off + g_caps).max()) if kc else 0
     m = codes_b[0].shape[1]
     codes = np.zeros((total_cap, m), codes_b[0].dtype)
     ids = np.full(total_cap, -1, np.int64)
@@ -317,6 +320,11 @@ def _reshard_parts(path: str, meta, config, glayout, v1_layout, mesh):
     return dict(
         offsets=offsets_per.astype(np.int32),
         sizes=sizes_per.astype(np.int32),
+        # exact per-shard caps: _wire would otherwise recover them from the
+        # offsets diff, which inflates cell kc-1's cap up to the padded
+        # array tail in its owner shard (benign — no trailing cell shares
+        # its boundary — but exact is strictly tighter for regrow checks)
+        caps=caps_per.astype(np.int64),
         pq_codes=new_codes,
         ids=new_ids,
         window=window,

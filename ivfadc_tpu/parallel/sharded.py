@@ -28,7 +28,7 @@ from jax import shard_map
 
 from ivfadc_tpu.models.index import (IVFADCIndex, _bucket_batch,
                                      _env_coarse_engine, _env_extract,
-                                     _env_rank_engine)
+                                     _env_merge_topk, _env_rank_engine)
 from ivfadc_tpu.ops.adc import build_adc_tables, scan_postings
 from ivfadc_tpu.ops.metrics import Metric
 from ivfadc_tpu.parallel.mesh import DATA_AXIS, SHARD_AXIS, make_mesh
@@ -99,7 +99,8 @@ def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
                         ids2d_l, q_l, *, k, w, metric, include_base,
                         apply_rot, residual_based, chunk, pb, merge, nf,
                         pos8, interpret, gather_win=0, gather_all=False,
-                        coarse_engine=None, extract=False, rank_engine=None):
+                        coarse_engine=None, extract=False, rank_engine=None,
+                        merge_topk="pallas"):
     """Shard-local dense search — the exact single-chip pipeline (fused
     coarse probe + grouped scan + in-kernel id emission) run on the local
     CSR arrays. Returns raw per-shard (B, k) candidates."""
@@ -114,7 +115,7 @@ def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
         k=k, w=w, chunk=chunk, pb=pb, merge=merge, nf=nf,
         norm_coef=norm_coef, pos8=pos8, interpret=interpret,
         gather_win=gather_win, gather_all=gather_all,
-        extract=extract, rank_engine=rank_engine)
+        extract=extract, rank_engine=rank_engine, merge_topk=merge_topk)
 
 
 @functools.partial(
@@ -123,7 +124,7 @@ def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
                      "apply_rot", "residual_based", "dense", "chunk", "pb",
                      "merge", "nf", "pos8", "interpret", "overlap",
                      "gather_win", "gather_all", "coarse_engine",
-                     "extract", "rank_engine"))
+                     "extract", "rank_engine", "merge_topk"))
 def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                          dscale, ids2d, queries, *, mesh, k: int, w: int,
                          window: int,
@@ -136,7 +137,8 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                          overlap: bool = True,
                          coarse_engine: str | None = None,
                          extract: bool = False,
-                         rank_engine: str | None = None):
+                         rank_engine: str | None = None,
+                         merge_topk: str = "pallas"):
     """Queries (B, d) replicated over shard / sharded over data; per-shard CSR
     arrays stacked on a leading shard axis. `codes` is the flat PQ-code array
     in LUT mode or the decoded residual cache in dense mode. Returns
@@ -167,7 +169,7 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                     merge=merge, nf=nf, pos8=pos8, interpret=interpret,
                     gather_win=gather_win, gather_all=gather_all,
                     coarse_engine=coarse_engine, extract=extract,
-                    rank_engine=rank_engine)
+                    rank_engine=rank_engine, merge_topk=merge_topk)
             cells, cdists = cq_l.search(q_b, w, extract=extract,
                                         rank_engine=rank_engine)
             cent = cq_l.centroids[cells]
@@ -581,12 +583,10 @@ class ShardedIVFADCIndex:
         for op in ops:
             if op[0] == "shift":
                 _, t, delta = op
-                ids_arr = jnp.where(ids_arr > t, ids_arr + delta, ids_arr)
+                ids_arr = _shift_rows(ids_arr, jnp.int32(t), jnp.int32(delta))
             else:
                 dels = jnp.asarray(np.asarray(op[1]), ids_arr.dtype)
-                ids_arr = jnp.where(
-                    ids_arr >= 0,
-                    ids_arr - jnp.searchsorted(dels, ids_arr), ids_arr)
+                ids_arr = _rank_shift_rows(ids_arr, dels)
         self.arrays["ids"] = ids_arr
         # 2) dirty cells: scatter current host-truth rows into the owner
         #    shard's slots (covering the old extent so shrunk cells clear)
@@ -733,6 +733,8 @@ class ShardedIVFADCIndex:
             raise AssertionError(
                 f"Index would exceed capacity for dtype "
                 f"{self.index.config.index_dtype} ({cap} vectors)")
+        if len(points) == 0:        # no-op, like the host-based path
+            return
         cells, codes = self._encode_batch(points)
         self._native_append(
             cells, codes, np.arange(n0, n0 + len(points), dtype=np.int64))
@@ -799,6 +801,9 @@ class ShardedIVFADCIndex:
         """Decode the stored approximation of a point (non-destructive)."""
         if not self._distributed_build:
             return self.index.reconstruct(ext_id)
+        # same single-controller gate as the mutating ops: _locate_rows over
+        # zero-filled non-addressable rows would hang or miscount multi-host
+        self._require_native_ops()
         cell, codes = self._fetch_by_id(int(ext_id))
         return self.index._reconstruct_from(cell, codes)
 
@@ -1043,7 +1048,8 @@ class ShardedIVFADCIndex:
             interpret=jax.default_backend() == "cpu",
             overlap=overlap,
             coarse_engine=_env_coarse_engine(),
-            extract=_env_extract(), rank_engine=_env_rank_engine())
+            extract=_env_extract(), rank_engine=_env_rank_engine(),
+            merge_topk=_env_merge_topk())
         return ids, dists, B
 
     def search(self, points, k: int, w: int = 1):

@@ -56,6 +56,12 @@ def recall_at_r(found_ids: np.ndarray, gt_ids: np.ndarray, r: int) -> float:
     # per-row membership: found id j ∈ gt row? (-1 pads never match: gt ids
     # are >= 0). Rows of found are unique by construction (top-k of unique
     # external ids), so summing matches counts the intersection exactly.
-    eq = f[:, :, None] == g[:, None, :]
-    hits = np.logical_and(eq.any(axis=2), f >= 0).sum()
+    # Blocked over queries: the (nq, r, r) broadcast would be ~10 GB at
+    # nq=1M, r=100 in one shot.
+    block = max(1, (1 << 26) // max(r * r, 1))
+    hits = 0
+    for s in range(0, f.shape[0], block):
+        fb, gb = f[s:s + block], g[s:s + block]
+        eq = fb[:, :, None] == gb[:, None, :]
+        hits += int(np.logical_and(eq.any(axis=2), fb >= 0).sum())
     return float(hits) / (f.shape[0] * r)

@@ -224,3 +224,13 @@ def test_dynamic_op_errors(dist_view):
         sidx.delete([len(sidx.index) + 5])
     with pytest.raises(AssertionError):
         sidx.push(np.zeros(data.shape[1] + 2, np.float32))
+
+
+def test_empty_push_batch_is_noop(dist_view):
+    sidx, _, data = _fresh_pair(dist_view)
+    n0 = len(sidx.index)
+    ids_before, _ = sidx.search_padded(data[:8], 5, w=4)
+    sidx.push_batch(np.empty((0, data.shape[1]), np.float32))
+    assert len(sidx.index) == n0
+    ids_after, _ = sidx.search_padded(data[:8], 5, w=4)
+    np.testing.assert_array_equal(ids_before, ids_after)

@@ -235,3 +235,32 @@ def test_bootstrap_env_resolution(monkeypatch):
     assert bootstrap.initialize_cluster() is True
     assert calls == {}
     monkeypatch.setattr(bootstrap, "_INITIALIZED", False)
+
+
+def test_consolidate_after_cell_relocation(tmp_path):
+    """A host-based index whose cell outgrew its cap relocates that cell to
+    the END of the flat store, making the layout non-monotone. Consolidation
+    must size the rebuilt store by (offsets+caps).max(), not the last cell's
+    end — the old formula under-allocated and crashed on such checkpoints."""
+    from ivfadc_tpu.parallel.persistence import consolidate_sharded_index
+    rng = np.random.RandomState(3)
+    data = _clustered(512, 10, 8, seed=3)
+    idx = IVFADCIndex.build(data, kc=8, k=16, m=2, seed=0,
+                            cell_slack=1.05, cell_align=8)
+    # push many near-identical points so ONE cell overflows and relocates
+    target = data[7] + 0.001 * rng.randn(600, 10).astype(np.float32)
+    idx.push_batch(target)
+    off_end = idx.store.offsets + idx.store.caps
+    assert int(off_end.max()) > int(off_end[-1]), \
+        "fixture failed to relocate a grown cell"
+    mesh = make_mesh(n_shards=2, n_data=1)
+    sidx = ShardedIVFADCIndex(idx, mesh)
+    path = str(tmp_path / "reloc_idx")
+    save_sharded_index(path, sidx)
+    plain = consolidate_sharded_index(path)
+    assert len(plain) == len(idx)
+    q = data[:16]
+    ids_a, d_a = idx.search_padded(q, 10, w=4)
+    ids_b, d_b = plain.search_padded(q, 10, w=4)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(d_a, d_b, rtol=1e-6, atol=1e-6)
