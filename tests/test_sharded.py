@@ -452,3 +452,20 @@ def test_sharded_search_free_function_and_trimmed(base_index):
     assert len(bi) == 3 and all(len(r) <= 4 for r in bi)
     with pytest.raises(AssertionError, match="dimension"):
         sidx.search(base[0][:5], 3)
+
+
+def test_sharded_merge_topk_approx_matches_on_cpu(base_index, monkeypatch):
+    """The IVFADC_MERGE_TOPK engine must reach the per-shard merge inside
+    shard_map (it is plumbed through _sharded_search_impl). On CPU
+    approx_min_k is exact, so results match the default engine exactly."""
+    base, _ = base_index
+    idx = IVFADCIndex.build(base, kc=16, k=32, m=4, seed=0,
+                            scan_mode="dense")
+    mesh = make_mesh(n_shards=4, n_data=2)
+    sidx = ShardedIVFADCIndex(idx, mesh)
+    q = base[:64]
+    ids_a, d_a = sidx.search_padded(q, 10, w=8)
+    monkeypatch.setenv("IVFADC_MERGE_TOPK", "approx")
+    ids_b, d_b = sidx.search_padded(q, 10, w=8)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(d_a, d_b, rtol=1e-6)
