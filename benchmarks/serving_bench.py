@@ -93,6 +93,45 @@ def main():
               f"{total / wall:.0f} req/s; per-req p50={l50:.2f}ms "
               f"p99={l99:.2f}ms; dispatches={s.stats.batches} "
               f"(mean batch {s.stats.queries / max(1, s.stats.batches):.1f})")
+    # 3. mutation under load: clients keep submitting while a writer thread
+    #    interleaves push_batch/delete through the searcher's write lock
+    #    (round-4 epoch contract: dispatches never see a half-mutated store)
+    mut_rounds = 8 if on_accel else 3
+    with BatchingSearcher(index, max_batch=1024, max_wait_ms=2.0) as s:
+        lat3 = [[] for _ in range(clients)]
+        stop = threading.Event()
+
+        def client3(c):
+            i = 0
+            while not stop.is_set():
+                t0 = time.perf_counter()
+                s.search(queries[(c * 131 + i) % len(queries)], k, w)
+                lat3[c].append(time.perf_counter() - t0)
+                i += 1
+
+        muts = []
+        ts = [threading.Thread(target=client3, args=(c,))
+              for c in range(clients)]
+        [t.start() for t in ts]
+        n0 = len(index)
+        t0 = time.perf_counter()
+        for r in range(mut_rounds):
+            tm = time.perf_counter()
+            s.push_batch(queries[:64] + 0.01 * r)
+            s.delete(list(range(len(index) - 32, len(index))))
+            muts.append(time.perf_counter() - tm)
+        mut_wall = time.perf_counter() - t0
+        stop.set()
+        [t.join() for t in ts]
+        all3 = np.concatenate([x for x in lat3 if x]) if any(lat3) else [0]
+        m50, m99 = p50_p99(all3)
+        served3 = sum(len(x) for x in lat3)
+        print(f"mutation-under-load: {mut_rounds} rounds of "
+              f"push_batch(64)+delete(32) in {mut_wall:.2f}s "
+              f"(p50 mutation {np.percentile(muts, 50)*1e3:.0f}ms) while "
+              f"serving {served3} reqs at p50={m50:.2f}ms p99={m99:.2f}ms; "
+              f"index n {n0} -> {len(index)}")
+
     print("RESULT",
           {"direct_b1_p50_ms": round(d50, 2),
            "coalesced_b1_p50_ms": round(s50, 2),
@@ -100,6 +139,9 @@ def main():
            "open_loop_p50_ms": round(l50, 2),
            "mean_dispatch_batch":
                round(s.stats.queries / max(1, s.stats.batches), 1),
+           "mut_under_load_req_s": round(served3 / mut_wall, 1),
+           "mut_p50_ms": round(float(np.percentile(muts, 50)) * 1e3, 1),
+           "mut_serving_p50_ms": round(m50, 2),
            "clients": clients, "n": n,
            "backend": jax.default_backend()})
 
