@@ -60,9 +60,13 @@ def _agree_up_to_boundary_ties(ids_a, dist_a, ids_b, dist_b, c):
 
 
 @pytest.mark.parametrize("trial", range(10))
-def test_random_config_build_search(trial):
+def test_random_config_build_search(trial, monkeypatch):
     rng = np.random.RandomState(1000 + trial)
     c = _rand_config(rng)
+    if rng.rand() < 0.3:
+        # exercise the approx final-merge engine through the gate lattice
+        # too; approx_min_k is exact on CPU, so every assertion holds
+        monkeypatch.setenv("IVFADC_MERGE_TOPK", "approx")
     data = rng.randn(c["n"], c["d"]).astype(np.float32)
 
     def build(scan_mode):
