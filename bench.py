@@ -219,6 +219,7 @@ def main():
                    and not os.environ.get("IVFADC_NO_EXTRACT"),
         "rank_engine": os.environ.get("IVFADC_RANK_ENGINE", "v1"),
         "coarse_engine": os.environ.get("IVFADC_COARSE_ENGINE", "v1"),
+        "merge_topk": os.environ.get("IVFADC_MERGE_TOPK", "pallas"),
         "build_seconds": round(build_s, 1),
         "total_seconds": round(time.time() - t_all, 1),
     }
