@@ -114,6 +114,33 @@ def _assign_pass(x_blocks, mask_blocks, centers, metric: Metric):
     return assigns, mindists, sums, counts
 
 
+def _lloyd_update(x_blocks, mask_blocks, flat_x, centers, metric: Metric):
+    """One Lloyd iteration: assignment pass + mean update + empty reseed.
+    Shared by the fused (fori_loop) and per-iteration-dispatch paths —
+    identical math, so the two compile strategies give identical centers."""
+    _, mindists, sums, counts = _assign_pass(x_blocks, mask_blocks,
+                                             centers, metric)
+    new_centers = sums / jnp.maximum(counts[:, None], 1.0)
+    empty = counts < 0.5
+    # Re-seed empty clusters at far-away points. A global top-k over all
+    # n mindists would be an n-wide sort each iteration (dominates both
+    # compile and run time at n~1e6); instead take each block's farthest
+    # point — nb candidates, ranked by a tiny nb-wide sort. Rarely are
+    # there more empties than blocks; if so, candidates are reused.
+    bfar = jnp.max(mindists, axis=1)                      # (nb,)
+    barg = jnp.argmax(mindists, axis=1).astype(jnp.int32)  # (nb,)
+    nb = bfar.shape[0]
+    order = jnp.argsort(-bfar)                            # farthest first
+    cand_idx = barg[order] + order.astype(jnp.int32) * mindists.shape[1]
+    slot = jnp.cumsum(empty.astype(jnp.int32)) - 1     # rank among empties
+    reseed = flat_x[cand_idx[jnp.clip(slot, 0, nb - 1)]]
+    new_centers = jnp.where(empty[:, None], reseed, new_centers)
+    # Keep the old center when a cluster is empty AND there is no mass to
+    # re-seed from (degenerate tiny inputs).
+    any_mass = jnp.isfinite(jnp.max(bfar))
+    return jnp.where(any_mass | ~empty[:, None], new_centers, centers)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "maxiter", "block", "metric"))
 def _kmeans_impl(x, k: int, maxiter: int, block: int, metric: Metric,
                  init_centers):
@@ -124,31 +151,29 @@ def _kmeans_impl(x, k: int, maxiter: int, block: int, metric: Metric,
     flat_x = x_blocks.reshape(-1, d)
 
     def iteration(_, centers):
-        _, mindists, sums, counts = _assign_pass(x_blocks, mask_blocks,
-                                                 centers, metric)
-        new_centers = sums / jnp.maximum(counts[:, None], 1.0)
-        empty = counts < 0.5
-        # Re-seed empty clusters at far-away points. A global top-k over all
-        # n mindists would be an n-wide sort each iteration (dominates both
-        # compile and run time at n~1e6); instead take each block's farthest
-        # point — nb candidates, ranked by a tiny nb-wide sort. Rarely are
-        # there more empties than blocks; if so, candidates are reused.
-        bfar = jnp.max(mindists, axis=1)                      # (nb,)
-        barg = jnp.argmax(mindists, axis=1).astype(jnp.int32)  # (nb,)
-        nb = bfar.shape[0]
-        order = jnp.argsort(-bfar)                            # farthest first
-        cand_idx = barg[order] + order.astype(jnp.int32) * mindists.shape[1]
-        slot = jnp.cumsum(empty.astype(jnp.int32)) - 1     # rank among empties
-        reseed = flat_x[cand_idx[jnp.clip(slot, 0, nb - 1)]]
-        new_centers = jnp.where(empty[:, None], reseed, new_centers)
-        # Keep the old center when a cluster is empty AND there is no mass to
-        # re-seed from (degenerate tiny inputs).
-        any_mass = jnp.isfinite(jnp.max(bfar))
-        return jnp.where(any_mass | ~empty[:, None], new_centers, centers)
+        return _lloyd_update(x_blocks, mask_blocks, flat_x, centers, metric)
 
     centers = jax.lax.fori_loop(0, maxiter, iteration, init_centers)
     assigns, _, _, _ = _assign_pass(x_blocks, mask_blocks, centers, metric)
     return centers, assigns.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "metric"))
+def _kmeans_iter_impl(x, centers, block: int, metric: Metric):
+    """One Lloyd iteration as its own program (see _ONE_SHOT_ELEMS)."""
+    n, d = x.shape
+    x_blocks, mask_blocks = _pad_blocks(x.astype(jnp.float32), block)
+    return _lloyd_update(x_blocks, mask_blocks,
+                         x_blocks.reshape(-1, d), centers, metric)
+
+
+# Above this n*k, Lloyd runs as maxiter separate per-iteration dispatches
+# instead of one fused fori_loop program: at Deep1B-shape (2M x kc=2^18 x
+# 25 iters) the fused program executes for 10+ minutes and the tunneled
+# runtime's watchdog aborts it (UNAVAILABLE "TPU device error" — observed
+# reproducibly; a 10-iteration run of the same program passed). Split
+# dispatch costs ~ms total and produces bit-identical centers.
+_ONE_SHOT_ELEMS = 1 << 33
 
 
 def kmeans(key: jax.Array, x: jax.Array, k: int, *,
@@ -191,6 +216,12 @@ def kmeans(key: jax.Array, x: jax.Array, k: int, *,
     else:
         raise ValueError(f"unknown init {init!r}")
 
+    if n * k > _ONE_SHOT_ELEMS:
+        centers = init_centers
+        for _ in range(maxiter):
+            centers = _kmeans_iter_impl(x, centers, block, metric)
+        assignments = _assign_impl(x, centers, block, metric)
+        return KMeansResult(centers, assignments)
     centers, assignments = _kmeans_impl(x, k, maxiter, block, metric,
                                         init_centers)
     return KMeansResult(centers, assignments)

@@ -130,3 +130,21 @@ def test_kmeans_inner_product_trains():
     assert np.isfinite(c).all()
     a = np.asarray(res.assignments)
     assert np.array_equal(a, (-(x @ c.T)).argmin(1))
+
+
+def test_split_iteration_path_matches_fused(monkeypatch):
+    """Huge-n*k runs dispatch one Lloyd iteration per program (the fused
+    fori_loop program runs long enough at Deep1B shape that the tunneled
+    runtime's watchdog aborts it). Same math -> centers and assignments
+    must match the fused path exactly."""
+    from ivfadc_tpu.ops import kmeans as km
+    rng = np.random.RandomState(5)
+    x = rng.randn(2000, 12).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+    fused = km.kmeans(key, x, 32, maxiter=7)
+    monkeypatch.setattr(km, "_ONE_SHOT_ELEMS", 0)
+    split = km.kmeans(key, x, 32, maxiter=7)
+    np.testing.assert_allclose(np.asarray(split.centers),
+                               np.asarray(fused.centers), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(split.assignments),
+                                  np.asarray(fused.assignments))
