@@ -132,7 +132,7 @@ class IVFADCConfig:
                                     # grouped kernel's in-kernel id emission
                                     # — else 8, the tight Mosaic sublane
                                     # minimum for huge-kc/tiny-cell indexes)
-    scan_gather_win: int = 64       # tiny-cell engine threshold (rows): in
+    scan_gather_win: int = 0        # tiny-cell engine threshold (rows): in
                                     # the huge-kc regime, probes of cells
                                     # whose capacity fits this window are
                                     # scored by one XLA row-gather + batched
@@ -141,7 +141,13 @@ class IVFADCConfig:
                                     # would be >90% padding; bigger cells
                                     # stay on the scan kernel and the two
                                     # candidate lists merge exactly.
-                                    # 0 disables.
+                                    # 0 (default) disables: the round-4
+                                    # hardware A/B at the engine's flagship
+                                    # Deep1B shape measured the hybrid at
+                                    # 160 ms vs 85 ms scan-only
+                                    # (reproducibly; RESULTS.md) — opt in
+                                    # per deployment via autotune's
+                                    # gather_wins sweep or this knob.
     scan_merge: str = "auto"        # in-kernel candidate upkeep:
                                     # "exact": k min-extract passes per chunk
                                     #   (true per-probe top-k);

@@ -826,6 +826,7 @@ class IVFADCIndex:
                  pbs: Sequence[int] = (16, 32, 64, 128),
                  chunks: Sequence[int] = (512, 1024, 2048),
                  merges: Sequence[str] = ("fold",),
+                 gather_wins: Sequence[Optional[int]] = (None,),
                  reps: int = 5, apply: bool = True) -> dict:
         """Time the LIVE index's dense search under candidate kernel
         parameters (scan_pb x scan_chunk x scan_merge) on a representative
@@ -863,36 +864,43 @@ class IVFADCIndex:
         base_lat = roundtrip_latency() if on_accel else 0.0
         results = []
         try:
-            for merge in merges:
-                for pb in pbs:
-                    for chunk in chunks:
-                        if chunk % nf:
-                            continue        # kernel requires nf | chunk
-                        self.config = _dc.replace(
-                            orig, scan_pb=pb, scan_chunk=chunk,
-                            scan_merge=merge)
-                        # keyed on caps identity only — must not serve a
-                        # chunk clamped for the previous candidate
-                        self.__dict__.pop("_eff_chunk_cache", None)
-                        row = {"pb": pb, "chunk": chunk, "merge": merge}
-                        try:
-                            t = true_time(
-                                lambda i: self._device_search(
-                                    queries + 1e-6 * i, k, w),
-                                reps=reps, warm=1, baseline=base_lat)
-                            row["seconds"] = float(t)
-                        except Exception as e:      # noqa: BLE001
-                            row["error"] = f"{type(e).__name__}: {e}"[:200]
-                        results.append(row)
+            for gw in gather_wins:
+                gw_eff = orig.scan_gather_win if gw is None else int(gw)
+                for merge in merges:
+                    for pb in pbs:
+                        for chunk in chunks:
+                            if chunk % nf:
+                                continue    # kernel requires nf | chunk
+                            self.config = _dc.replace(
+                                orig, scan_pb=pb, scan_chunk=chunk,
+                                scan_merge=merge, scan_gather_win=gw_eff)
+                            # keyed on caps identity only — must not serve
+                            # stale plans from the previous candidate
+                            self.__dict__.pop("_eff_chunk_cache", None)
+                            self.__dict__.pop("_gather_plan_cache", None)
+                            row = {"pb": pb, "chunk": chunk, "merge": merge,
+                                   "gather_win": gw_eff}
+                            try:
+                                t = true_time(
+                                    lambda i: self._device_search(
+                                        queries + 1e-6 * i, k, w),
+                                    reps=reps, warm=1, baseline=base_lat)
+                                row["seconds"] = float(t)
+                            except Exception as e:      # noqa: BLE001
+                                row["error"] = \
+                                    f"{type(e).__name__}: {e}"[:200]
+                            results.append(row)
         finally:
             self.config = orig
             self.__dict__.pop("_eff_chunk_cache", None)
+            self.__dict__.pop("_gather_plan_cache", None)
         ok = [r for r in results if "seconds" in r]
         best = min(ok, key=lambda r: r["seconds"]) if ok else None
         if best is not None and apply:
             self.config = _dc.replace(orig, scan_pb=best["pb"],
                                       scan_chunk=best["chunk"],
-                                      scan_merge=best["merge"])
+                                      scan_merge=best["merge"],
+                                      scan_gather_win=best["gather_win"])
         return {"best": best, "results": results,
                 "applied": best is not None and apply}
 

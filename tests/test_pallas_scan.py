@@ -227,7 +227,8 @@ def test_gathered_engine_matches_lut():
     # ungrouped regime (B*w << 4*kc is false here, so force via small batch)
     # with tiny cells: the gathered engine must cover every cell and match
     # the exact LUT scan
-    base, idx = _build(n=300, kc=64, m=4, scan_mode="dense", cell_align=8)
+    base, idx = _build(n=300, kc=64, m=4, scan_mode="dense", cell_align=8,
+                       scan_gather_win=64)
     win, covers_all = idx._gather_plan()
     assert covers_all and 0 < win <= idx.config.scan_gather_win
     _, idx_lut = _build(n=300, kc=64, m=4, scan_mode="lut", cell_align=8)
@@ -269,7 +270,7 @@ def test_gathered_plan_survives_in_place_cell_growth():
     idx = IVFADCIndex.build(base, kc=kc, k=16, m=4, seed=0,
                             coarse_maxiter=10, quantization_maxiter=10,
                             scan_mode="dense", cell_align=8,
-                            index_dtype="uint32")
+                            scan_gather_win=64, index_dtype="uint32")
     win0, covers0 = idx._gather_plan()
     assert covers0 and win0 > 0
     idx.search_padded(base[:8], 5, w=2)          # populate the plan cache
@@ -287,6 +288,7 @@ def test_gathered_plan_survives_in_place_cell_growth():
 def test_gathered_engine_inner_product_matches_lut():
     # norm_coef=0 path of the gathered engine (score = v.x + base)
     base, idx = _build(n=300, kc=64, m=4, scan_mode="dense", cell_align=8,
+                       scan_gather_win=64,
                        quantization_metric="inner_product")
     win, covers_all = idx._gather_plan()
     assert covers_all and win > 0
