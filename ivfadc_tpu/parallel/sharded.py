@@ -77,12 +77,11 @@ def partition_store(store, n_shards: int, align: int = 0):
     ids = np.full((n_shards, cap_shard), -1, np.int64)
     # one gather/scatter pair over all live rows: row r of cell c goes from
     # base slot offsets[c]+r to shard-(c%S) slot offsets_per[c%S, c]+r
+    from ivfadc_tpu.parallel.persistence import _row_moves
     sz = np.asarray(store.sizes, np.int64)
     tot = int(sz.sum())
     if tot:
-        cell_rep = np.repeat(cells, sz)
-        within = np.arange(tot, dtype=np.int64) - \
-            np.repeat(np.cumsum(sz) - sz, sz)
+        cell_rep, within = _row_moves(sz)
         src = np.asarray(store.offsets, np.int64)[cell_rep] + within
         shard_rep = owners[cell_rep]
         dst = offsets_per[shard_rep, cell_rep] + within
@@ -956,12 +955,11 @@ class ShardedIVFADCIndex:
         # gather maps for the CURRENT rows (pre-append truth)
         gidx = np.zeros((S, cap_pad), np.int32)
         mask = np.zeros((S, cap_pad), bool)
+        from ivfadc_tpu.parallel.persistence import _row_moves
         cur_sizes = np.asarray(store.sizes, np.int64)
         tot = int(cur_sizes.sum())
         if tot:
-            cell_rep = np.repeat(cells, cur_sizes)
-            within = np.arange(tot, dtype=np.int64) - \
-                np.repeat(np.cumsum(cur_sizes) - cur_sizes, cur_sizes)
+            cell_rep, within = _row_moves(cur_sizes)
             s_rep = cell_rep % S
             src = self._h_offsets[s_rep, cell_rep] + within
             dst = offsets_per[s_rep, cell_rep] + within
