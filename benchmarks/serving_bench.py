@@ -93,6 +93,7 @@ def main():
               f"{total / wall:.0f} req/s; per-req p50={l50:.2f}ms "
               f"p99={l99:.2f}ms; dispatches={s.stats.batches} "
               f"(mean batch {s.stats.queries / max(1, s.stats.batches):.1f})")
+        open_loop_mean_batch = s.stats.queries / max(1, s.stats.batches)
     # 3. mutation under load: clients keep submitting while a writer thread
     #    interleaves push_batch/delete through the searcher's write lock
     #    (round-4 epoch contract: dispatches never see a half-mutated store)
@@ -115,17 +116,21 @@ def main():
         [t.start() for t in ts]
         n0 = len(index)
         t0 = time.perf_counter()
+        served_at_t0 = sum(len(x) for x in lat3)
         for r in range(mut_rounds):
             tm = time.perf_counter()
             s.push_batch(queries[:64] + 0.01 * r)
             s.delete(list(range(len(index) - 32, len(index))))
             muts.append(time.perf_counter() - tm)
         mut_wall = time.perf_counter() - t0
+        # count only requests completed INSIDE the mutation window — the
+        # threads' warmup before t0 and their post-stop in-flight tails
+        # would otherwise inflate req/s
+        served3 = sum(len(x) for x in lat3) - served_at_t0
         stop.set()
         [t.join() for t in ts]
         all3 = np.concatenate([x for x in lat3 if x]) if any(lat3) else [0]
         m50, m99 = p50_p99(all3)
-        served3 = sum(len(x) for x in lat3)
         print(f"mutation-under-load: {mut_rounds} rounds of "
               f"push_batch(64)+delete(32) in {mut_wall:.2f}s "
               f"(p50 mutation {np.percentile(muts, 50)*1e3:.0f}ms) while "
@@ -137,8 +142,7 @@ def main():
            "coalesced_b1_p50_ms": round(s50, 2),
            "open_loop_req_s": round(total / wall, 1),
            "open_loop_p50_ms": round(l50, 2),
-           "mean_dispatch_batch":
-               round(s.stats.queries / max(1, s.stats.batches), 1),
+           "mean_dispatch_batch": round(open_loop_mean_batch, 1),
            "mut_under_load_req_s": round(served3 / mut_wall, 1),
            "mut_p50_ms": round(float(np.percentile(muts, 50)) * 1e3, 1),
            "mut_serving_p50_ms": round(m50, 2),

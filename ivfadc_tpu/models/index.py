@@ -791,11 +791,15 @@ class IVFADCIndex:
             return 0, False
         max_cap = int(caps.max())
         cache = getattr(self, "_gather_plan_cache", None)
-        if cache is not None and cache[0] is caps and cache[1] == max_cap:
-            return cache[2]
+        # keyed on the window LIMIT too: live-toggling scan_gather_win
+        # between non-zero values (the documented tuning workflow) must not
+        # serve a plan computed for the previous limit
+        if (cache is not None and cache[0] is caps and cache[1] == max_cap
+                and cache[2] == limit):
+            return cache[3]
         from ivfadc_tpu.ops.gather_scan import plan_gather
         plan = plan_gather(caps, limit, max_cap=max_cap)
-        self._gather_plan_cache = (caps, max_cap, plan)
+        self._gather_plan_cache = (caps, max_cap, limit, plan)
         return plan
 
     def _resolve_cache(self) -> str:
