@@ -25,10 +25,23 @@ DTYPE_TO_BITS = {
 
 # Device-side id representation cap: search kernels stream/emit ids as
 # int32 (ids2d rows, fold payloads, epilogue masks treat negatives as
-# padding), so external ids must stay below 2^31 regardless of how wide
-# `index_dtype` is on the host (uint64 storage is fine; ids above the cap
-# would wrap negative on device and silently vanish from results).
+# padding), so a PLAIN index's external ids must stay below 2^31 regardless
+# of how wide `index_dtype` is on the host (uint64 storage is fine; ids
+# above the cap would wrap negative on device and silently vanish from
+# results). Sharded views lift the cap with wide-id mode: device arrays
+# hold per-shard SLOT indices (< 2^31 by per-shard memory) and the host
+# keeps a slot -> uint64 global-id translation, matching the reference's
+# full UInt64 capacity law (/root/reference/src/index.jl:124 TYPE_TO_BITS).
 DEVICE_ID_CAP = 1 << 31
+
+
+def device_id_cap() -> int:
+    """The active device int32 id cap. Overridable via IVFADC_DEVICE_ID_CAP
+    so the beyond-cap wide-id machinery is testable at toy scale (tests
+    lower it to e.g. 2^10 and build a few thousand points)."""
+    import os
+    v = os.environ.get("IVFADC_DEVICE_ID_CAP")
+    return int(v) if v else DEVICE_ID_CAP
 
 VALID_QUANTIZATION_METHODS = ("pq", "opq")
 # "naive" = brute-force matmul coarse scan; "hnsw" is accepted for API parity
@@ -191,8 +204,15 @@ class IVFADCConfig:
             raise ValueError(
                 f"cell_align must be 0 (auto), 8 or 128, got {self.cell_align}")
 
-    def validate_for_data(self, n: int, d: int) -> None:
-        """Build-time assertions, 1:1 with /root/reference/src/index.jl:116-125."""
+    def validate_for_data(self, n: int, d: int, *,
+                          sharded: bool = False) -> None:
+        """Build-time assertions, 1:1 with /root/reference/src/index.jl:116-125.
+
+        `sharded=True` (set by the ShardedIVFADCIndex builders) lifts the
+        device int32 id cap: sharded views switch to wide-id mode beyond it
+        (per-shard slot ids + host uint64 translation), so n is bounded only
+        by the `index_dtype` capacity law — uint64 to 2^64, exactly the
+        reference's TYPE_TO_BITS law."""
         if self.kc < 2:
             raise AssertionError("Number of coarse clusters has to be >= 2")
         if self.k > n:
@@ -206,10 +226,12 @@ class IVFADCConfig:
         if DTYPE_TO_BITS[self.index_dtype] < bits_required(n):
             raise AssertionError(
                 f"{n} vectors require at least {bits_required(n)} index bits")
-        if n > DEVICE_ID_CAP:
+        if n > device_id_cap() and not sharded:
             raise AssertionError(
                 f"{n} vectors exceed the device int32 id representation "
-                f"({DEVICE_ID_CAP}); shard the index instead")
+                f"({device_id_cap()}); build through ShardedIVFADCIndex "
+                f"(.build / .build_streaming), whose wide-id mode lifts "
+                f"the cap to the index_dtype capacity")
 
     @property
     def code_dtype(self) -> str:

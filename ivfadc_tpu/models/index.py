@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ivfadc_tpu.config import DEVICE_ID_CAP, DTYPE_TO_BITS, IVFADCConfig
+from ivfadc_tpu.config import (DTYPE_TO_BITS, IVFADCConfig, device_id_cap)
 from ivfadc_tpu.ops import pq as pq_ops
 from ivfadc_tpu.ops.adc import build_adc_tables, scan_postings
 from ivfadc_tpu.ops.metrics import Metric, get_metric
@@ -499,7 +499,7 @@ class IVFADCIndex:
     @classmethod
     def build_streaming(cls, chunks, config: Optional[IVFADCConfig] = None,
                         *, train_data=None, train_sample: int = 1 << 18,
-                        **kwargs) -> "IVFADCIndex":
+                        _sharded: bool = False, **kwargs) -> "IVFADCIndex":
         """Out-of-core build: index data that never fits in memory at once.
 
         `chunks` is a RE-ITERABLE of (b, d) float arrays — e.g. a
@@ -571,7 +571,7 @@ class IVFADCIndex:
             # every validate_for_data check is decidable now (pass 2 only
             # re-streams the same rows) — fail BEFORE the expensive
             # training + encode passes, not after them
-            config.validate_for_data(seen, d)
+            config.validate_for_data(seen, d, sharded=_sharded)
         else:
             train = np.asarray(train_data, np.float32)
             if train.ndim != 2:
@@ -582,7 +582,8 @@ class IVFADCIndex:
             # pass 2 either way
             n_hint = getattr(chunks, "n_rows", None)
             if n_hint:
-                config.validate_for_data(int(n_hint), d)
+                config.validate_for_data(int(n_hint), d,
+                                         sharded=_sharded)
         if config.k > train.shape[0]:
             raise AssertionError(
                 f"training sample ({train.shape[0]}) must hold at least "
@@ -649,7 +650,7 @@ class IVFADCIndex:
                 f"not a one-shot generator")
         if n == 0:
             raise AssertionError("empty chunk stream")
-        config.validate_for_data(n, d)
+        config.validate_for_data(n, d, sharded=_sharded)
 
         with timer.phase("build_lists"):
             align = config.cell_align or (128 if config.kc <= 16384 else 8)
@@ -687,6 +688,14 @@ class IVFADCIndex:
             raise AssertionError("k has to be >= 1")  # src/index.jl:210
         if w < 1:
             raise AssertionError("w has to be >= 1")  # src/index.jl:211
+        if len(self) > device_id_cap():
+            # pushes may legally grow a host index past the device int32 id
+            # representation (dtype capacity law), but the plain device
+            # search would wrap those ids negative — fail loudly instead
+            raise AssertionError(
+                f"{len(self)} vectors exceed the device int32 id cap "
+                f"({device_id_cap()}); serve this index through a "
+                f"ShardedIVFADCIndex view (wide-id mode)")
         w = min(w, self.config.kc)                    # src/index.jl:216
         B = queries.shape[0]
         Bp = _bucket_batch(B)
@@ -988,12 +997,16 @@ class IVFADCIndex:
         if point.shape != (self.dim,):
             raise AssertionError(
                 f"Wrong point dimension {point.shape}, expected ({self.dim},)")
+        # dtype capacity law only (/root/reference/src/utils.jl:134-135):
+        # host ids are int64, so pushes beyond the device int32 cap succeed
+        # like the reference's; the plain DEVICE search path guards itself
+        # (_device_search) and points at the sharded wide-id views
         bits = DTYPE_TO_BITS[self.config.index_dtype]
-        cap = min(1 << bits, DEVICE_ID_CAP)   # int32 device-id representation
+        cap = 1 << bits
         if len(self) >= cap:
             raise AssertionError(
                 f"Index is full for dtype {self.config.index_dtype} "
-                f"({cap} vectors)")  # /root/reference/src/utils.jl:134-135
+                f"({cap} vectors)")
 
     def push(self, point) -> None:
         """Append with id = n (reference push!, /root/reference/src/utils.jl:114)."""
@@ -1012,7 +1025,7 @@ class IVFADCIndex:
             raise AssertionError(
                 f"push_batch expects (B, {self.dim}) points, got {points.shape}")
         bits = DTYPE_TO_BITS[self.config.index_dtype]
-        cap = min(1 << bits, DEVICE_ID_CAP)   # int32 device-id representation
+        cap = 1 << bits                       # dtype capacity law only
         if len(self) + len(points) > cap:
             raise AssertionError(
                 f"Index would exceed capacity for dtype "
@@ -1085,6 +1098,20 @@ class IVFADCIndex:
         # on a ~1 MB/s-D2H tunnel) for one reconstruction
         row = self.store._code_rows(np.asarray([slot]))[0]
         return self._reconstruct_from(cell, row.copy())
+
+    def fork(self) -> "IVFADCIndex":
+        """Consistent-snapshot clone for epoch-swap serving (serving.py):
+        shares the immutable trained components (coarse, quantizer, config)
+        and clones the posting store copy-on-write — mutations on either
+        side never write into buffers the other still reads, so a serving
+        layer can keep dispatching searches against one epoch while the
+        next is being mutated. O(host payload) memcpy; device scan caches
+        are shared (the plain store never donates device buffers)."""
+        new = IVFADCIndex(self.config, self.coarse, self.quantizer,
+                          self.store.fork(), self.data_dtype, self.dim)
+        if hasattr(self, "build_timings"):
+            new.build_timings = self.build_timings
+        return new
 
     # ------------------------------------------------------------- inspection
     def __len__(self) -> int:

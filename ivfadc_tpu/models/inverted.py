@@ -244,6 +244,33 @@ class PostingStore:
         self._codes_dev = None
         self._ids_dev = None
 
+    def fork(self) -> "PostingStore":
+        """Copy-on-write clone for epoch-swap serving (serving.py): host
+        truth arrays are copied; device arrays are SHARED — every store
+        mutation updates them functionally (eager `.at[].set` copies), so
+        the parent's buffers are never written in place — and the cached
+        view dicts are shallow-copied so per-fork reassignment stays
+        private. Mutating parent and fork concurrently is safe; they
+        diverge independently."""
+        new = PostingStore(
+            self.kc, self.m, self.code_dtype,
+            offsets=self.offsets.copy(), caps=self.caps.copy(),
+            sizes=self.sizes.copy(),
+            codes=None if self._codes_h is None else self._codes_h.copy(),
+            ids=None if self._ids_h is None else self._ids_h.copy(),
+            codes_dev=self._codes_dev, ids_dev=self._ids_dev)
+        new._codes_ov = dict(self._codes_ov)
+        new._device = None if self._device is None else dict(self._device)
+        new._device_dense = (None if self._device_dense is None
+                             else dict(self._device_dense))
+        new._dirty_slots = set(self._dirty_slots)
+        new._slot_of = (None if self._slot_of is None
+                        else self._slot_of.copy())
+        new._cell_order = self._cell_order
+        if hasattr(self, "_dense_quantizer"):
+            new._dense_quantizer = self._dense_quantizer
+        return new
+
     # ------------------------------------------------------------------ build
     @classmethod
     def build(cls, assignments: np.ndarray, codes: np.ndarray, kc: int,

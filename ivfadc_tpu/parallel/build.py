@@ -107,26 +107,36 @@ def _assign_encode_stats(centers, codebooks, rotation, x, mask, *, mesh,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "kc", "n_shards", "send_cap", "cap_pad",
-                     "code_dtype"))
-def _redistribute_to_shards(a, codes, mask, offsets_per, *, mesh, kc: int,
-                            n_shards: int, send_cap: int, cap_pad: int,
-                            code_dtype):
+                     "code_dtype", "wide"))
+def _redistribute_to_shards(a, codes, mask, offsets_per, *gids, mesh,
+                            kc: int, n_shards: int, send_cap: int,
+                            cap_pad: int, code_dtype, wide: bool = False):
     """Route every point's (code row, global id) to its owner shard's CSR.
 
     a/codes/mask sharded over BOTH axes; offsets_per (S, kc) replicated.
     Returns (codes (S, cap_pad, m), ids (S, cap_pad) int32) sharded over the
     shard axis — each device constructs ONLY its own shard's block.
+
+    `wide=True` (ids beyond the device int32 cap): `gids` carries the
+    host-precomputed (lo, hi) int32 limbs of each row's uint64 insertion id
+    (lo = gid & (2^31-1), hi = gid >> 31 — device arithmetic alone cannot
+    form a 64-bit id without x64 mode). Both limbs route through the same
+    all_to_all; the returned ids are per-shard SLOT indices and two extra
+    (S, cap_pad) limb arrays come back for the host-side translation.
     """
     S = n_shards
 
-    def local(a_l, codes_l, mask_l, offs_l):
+    def local(a_l, codes_l, mask_l, offs_l, *g_l):
         nl = a_l.shape[0]
         m = codes_l.shape[1]
         di = jax.lax.axis_index(DATA_AXIS)
         si = jax.lax.axis_index(SHARD_AXIS)
         dev = di * S + si                    # data-major device order matches
         # the P((data, shard)) layout: global insertion id = flat position
-        gid = dev * nl + jnp.arange(nl, dtype=jnp.int32)
+        if wide:
+            g_list = list(g_l)               # (lo, hi) precomputed limbs
+        else:
+            g_list = [dev * nl + jnp.arange(nl, dtype=jnp.int32)]
         a_eff = jnp.where(mask_l > 0, a_l, kc)
         # global rank of each point within its cell = (postings of this cell
         # on earlier devices) + (rank among same-cell points locally)
@@ -157,29 +167,40 @@ def _redistribute_to_shards(a, codes, mask, offsets_per, *, mesh, kc: int,
                                ).at[dst].set(codes_l[sorder], mode="drop")
         send_slot = jnp.full((S, send_cap), -1, jnp.int32
                              ).at[dst].set(slot[sorder], mode="drop")
-        send_gid = jnp.full((S, send_cap), -1, jnp.int32
-                            ).at[dst].set(gid[sorder], mode="drop")
+        send_g = [jnp.full((S, send_cap), -1, jnp.int32
+                           ).at[dst].set(g[sorder], mode="drop")
+                  for g in g_list]
         # ---- shard-axis all_to_all + data-axis gather ----
         rc = jax.lax.all_to_all(send_codes, SHARD_AXIS, 0, 0, tiled=True)
         rs = jax.lax.all_to_all(send_slot, SHARD_AXIS, 0, 0, tiled=True)
-        rg = jax.lax.all_to_all(send_gid, SHARD_AXIS, 0, 0, tiled=True)
+        rg_list = [jax.lax.all_gather(
+                       jax.lax.all_to_all(sg, SHARD_AXIS, 0, 0, tiled=True),
+                       DATA_AXIS).reshape(-1)
+                   for sg in send_g]
         rc = jax.lax.all_gather(rc, DATA_AXIS).reshape(-1, m)
         rs = jax.lax.all_gather(rs, DATA_AXIS).reshape(-1)
-        rg = jax.lax.all_gather(rg, DATA_AXIS).reshape(-1)
         # ---- scatter into this shard's CSR block (invalid rows drop) ----
         tgt = jnp.where(rs >= 0, rs, cap_pad)
         codes_sh = jnp.zeros((cap_pad, m), code_dtype
                              ).at[tgt].set(rc.astype(code_dtype), mode="drop")
-        ids_sh = jnp.full((cap_pad,), -1, jnp.int32
-                          ).at[tgt].set(rg, mode="drop")
-        return codes_sh[None], ids_sh[None]
+        g_sh = [jnp.full((cap_pad,), -1, jnp.int32
+                         ).at[tgt].set(rg, mode="drop")
+                for rg in rg_list]
+        if wide:
+            lo_sh, hi_sh = g_sh
+            ids_sh = jnp.where(lo_sh >= 0,
+                               jnp.arange(cap_pad, dtype=jnp.int32), -1)
+            return codes_sh[None], ids_sh[None], lo_sh[None], hi_sh[None]
+        return codes_sh[None], g_sh[0][None]
 
+    n_out = 4 if wide else 2
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P(BOTH_AXES), P(BOTH_AXES), P(BOTH_AXES), P()),
-        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        in_specs=(P(BOTH_AXES), P(BOTH_AXES), P(BOTH_AXES), P())
+        + tuple([P(BOTH_AXES)] * len(gids)),
+        out_specs=tuple([P(SHARD_AXIS)] * n_out),
         check_vma=False)
-    return fn(a, codes, mask, offsets_per)
+    return fn(a, codes, mask, offsets_per, *gids)
 
 
 # --------------------------------------------------------------------- stage E
@@ -241,7 +262,14 @@ def build_distributed_parts(data, mesh, config):
     if not on_device:
         data = np.ascontiguousarray(np.asarray(data, np.float32))
     n, d = data.shape
-    config.validate_for_data(n, d)
+    config.validate_for_data(n, d, sharded=True)
+    from ivfadc_tpu.config import device_id_cap
+    wide = n > device_id_cap()       # ids beyond the device int32 cap:
+    if wide and jax.process_count() > 1:     # see sharded.WIDE_NO_ID
+        raise NotImplementedError(
+            "wide-id distributed builds are single-controller for now "
+            "(the host-side slot->id translation needs a per-process "
+            "exchange on a multi-host runtime)")
     n_pad = _round_up(n, n_dev)
     both = NamedSharding(mesh, P(BOTH_AXES))
     if on_device:
@@ -308,10 +336,32 @@ def build_distributed_parts(data, mesh, config):
     # D. all_to_all redistribution -> per-shard CSR blocks (device-side)
     offs_rep = jax.device_put(offsets_per.astype(np.int32),
                               NamedSharding(mesh, P()))
-    codes_sh, ids_sh = _redistribute_to_shards(
-        a, codes, maskd, offs_rep, mesh=mesh, kc=config.kc, n_shards=S,
-        send_cap=send_cap, cap_pad=cap_pad,
-        code_dtype=jnp.dtype(quantizer.code_dtype))
+    trans = None
+    if wide:
+        # 64-bit insertion ids ride the redistribution as two int32 limbs
+        # (host-precomputed: global id == flat padded-row position); the
+        # scattered limb blocks come back to host as the slot -> uint64
+        # translation. Device id arrays hold per-shard slot indices.
+        gid = np.arange(n_pad, dtype=np.uint64)
+        gl = jax.device_put((gid & np.uint64(0x7FFFFFFF)).astype(np.int32),
+                            both)
+        gh = jax.device_put((gid >> np.uint64(31)).astype(np.int32), both)
+        codes_sh, ids_sh, lo_sh, hi_sh = _redistribute_to_shards(
+            a, codes, maskd, offs_rep, gl, gh, mesh=mesh, kc=config.kc,
+            n_shards=S, send_cap=send_cap, cap_pad=cap_pad,
+            code_dtype=jnp.dtype(quantizer.code_dtype), wide=True)
+        lo_h = np.asarray(lo_sh).astype(np.int64)
+        hi_h = np.asarray(hi_sh).astype(np.int64)
+        trans = np.where(
+            lo_h >= 0,
+            ((hi_h.astype(np.uint64) << np.uint64(31))
+             | lo_h.astype(np.uint64)),
+            np.uint64(0xFFFFFFFFFFFFFFFF))
+    else:
+        codes_sh, ids_sh = _redistribute_to_shards(
+            a, codes, maskd, offs_rep, mesh=mesh, kc=config.kc, n_shards=S,
+            send_cap=send_cap, cap_pad=cap_pad,
+            code_dtype=jnp.dtype(quantizer.code_dtype))
 
     parts = dict(
         offsets=offsets_per.astype(np.int32),
@@ -323,6 +373,8 @@ def build_distributed_parts(data, mesh, config):
         max_cap=int(caps_per.max(initial=0)),
         cap_shard=cap_shard,
     )
+    if trans is not None:
+        parts["trans"] = trans
 
     # global single-host-equivalent layout for the payload-free base index
     g_slack = np.ceil(counts * (config.cell_slack - 1.0)).astype(np.int64)

@@ -33,6 +33,10 @@ FORMAT_VERSION = 2   # v2: per-shard offsets/sizes moved into the shard
                      # files (a multi-host process owns only its shards'
                      # layout; v1 kept them replicated in common.npz)
 
+# wide-id dead-slot sentinel (mirrors parallel.sharded.WIDE_NO_ID; kept as
+# a literal to avoid an import cycle)
+_WIDE_NO_ID = np.uint64(0xFFFFFFFFFFFFFFFF)
+
 
 def _local_shard_blocks(arr, owned_only: bool = False) -> Dict[int, np.ndarray]:
     """shard-id -> this process's copy of that shard's block (leading shard
@@ -72,6 +76,10 @@ def save_sharded_index(path: str, sidx) -> None:
         "align": int(sidx.align),
         "max_cap": int(sidx.max_cap),
         "n": len(base),
+        # wide-id mode: the shard files' id payload is the uint64
+        # slot -> global translation (device slot indices are derived
+        # state and rebuilt on load)
+        "wide_ids": bool(getattr(sidx, "wide_ids", False)),
     }
     common = {
         "centroids": np.asarray(base.coarse.centroids),
@@ -98,7 +106,12 @@ def save_sharded_index(path: str, sidx) -> None:
         np.savez(f, **common)
     os.replace(tmp, os.path.join(path, "common.npz"))
     code_blocks = _local_shard_blocks(sidx.shard_pq_codes, owned_only=True)
-    id_blocks = _local_shard_blocks(sidx.arrays["ids"], owned_only=True)
+    if meta["wide_ids"]:
+        # single-controller (wide mode is gated to one process): every
+        # shard's translation row is local host state
+        id_blocks = {s: sidx._trans[s] for s in range(sidx.n_shards)}
+    else:
+        id_blocks = _local_shard_blocks(sidx.arrays["ids"], owned_only=True)
     off_blocks = _local_shard_blocks(sidx.arrays["offsets"], owned_only=True)
     size_blocks = _local_shard_blocks(sidx.arrays["sizes"], owned_only=True)
     for s, codes in code_blocks.items():
@@ -262,7 +275,9 @@ def consolidate_sharded_index(path: str):
             msk = old_shard == s
             if msk.any():
                 codes[dst[msk]] = codes_b[s][src[msk]]
-                ids[dst[msk]] = ids_b[s][src[msk]]
+                # wide dirs store uint64 translation rows; global ids are
+                # < 2^63 so the int64 host id array holds them exactly
+                ids[dst[msk]] = ids_b[s][src[msk]].astype(np.int64)
     store = PostingStore(kc, config.m, codes.dtype,
                          offsets=g_off.astype(np.int64),
                          caps=g_caps.astype(np.int64),
@@ -299,8 +314,11 @@ def _reshard_parts(path: str, meta, config, glayout, v1_layout, mesh):
     m = codes_b[any_loaded].shape[1]
     guard = config.scan_chunk + 128
     cap_pad = _round_up(cap_shard + guard, 128)
+    wide = bool(meta.get("wide_ids", False))
     new_codes = np.zeros((S_new, cap_pad, m), codes_b[any_loaded].dtype)
     new_ids = np.full((S_new, cap_pad), -1, np.int32)
+    new_trans = np.full((S_new, cap_pad), _WIDE_NO_ID, np.uint64) \
+        if wide else None
     cell_rep, within = _row_moves(g_sizes)
     if len(cell_rep):
         old_shard = cell_rep % S
@@ -316,8 +334,16 @@ def _reshard_parts(path: str, meta, config, glayout, v1_layout, mesh):
             msk = (old_shard == s) & new_addr
             if msk.any():
                 new_codes[new_shard[msk], dst[msk]] = codes_b[s][src[msk]]
-                new_ids[new_shard[msk], dst[msk]] = ids_b[s][src[msk]]
-    return dict(
+                if wide:
+                    # file ids are the uint64 translation: it moves with
+                    # the rows; device ids become the new slot indices
+                    new_trans[new_shard[msk], dst[msk]] = \
+                        ids_b[s][src[msk]].astype(np.uint64)
+                    new_ids[new_shard[msk], dst[msk]] = \
+                        dst[msk].astype(np.int32)
+                else:
+                    new_ids[new_shard[msk], dst[msk]] = ids_b[s][src[msk]]
+    out = dict(
         offsets=offsets_per.astype(np.int32),
         sizes=sizes_per.astype(np.int32),
         # exact per-shard caps: _wire would otherwise recover them from the
@@ -331,6 +357,9 @@ def _reshard_parts(path: str, meta, config, glayout, v1_layout, mesh):
         align=align,
         max_cap=int(caps_per.max(initial=0)),
     )
+    if wide:
+        out["trans"] = new_trans
+    return out
 
 
 def load_sharded_index(path: str, mesh=None):
@@ -352,6 +381,7 @@ def load_sharded_index(path: str, mesh=None):
     meta, config, coarse, quantizer, glayout, v1_layout = _load_header(path)
     mesh = mesh if mesh is not None else make_mesh(n_data=1)
     S = meta["n_shards"]
+    wide = bool(meta.get("wide_ids", False))
     if mesh.shape[SHARD_AXIS] != S:
         parts = _reshard_parts(path, meta, config, glayout, v1_layout, mesh)
     else:
@@ -362,7 +392,8 @@ def load_sharded_index(path: str, mesh=None):
         for s in range(S):          # zero-fill non-addressable shards' rows
             if codes_b[s] is None:
                 codes_b[s] = np.zeros_like(codes_b[ref])
-                ids_b[s] = np.zeros_like(ids_b[ref])
+                ids_b[s] = np.full_like(ids_b[ref],
+                                        _WIDE_NO_ID if wide else 0)
                 offs_b[s] = np.zeros_like(offs_b[ref])
                 sizs_b[s] = np.zeros_like(sizs_b[ref])
         shard_offsets = np.stack(offs_b)
@@ -371,11 +402,22 @@ def load_sharded_index(path: str, mesh=None):
             offsets=shard_offsets,
             sizes=shard_sizes,
             pq_codes=np.stack(codes_b),
-            ids=np.stack(ids_b),
             window=int(meta["window"]),
             align=int(meta["align"]),
             max_cap=int(meta["max_cap"]),
         )
+        if wide:
+            # shard files carry the uint64 translation; the device slot
+            # pattern is derived state
+            trans = np.stack(ids_b).astype(np.uint64)
+            cap_pad = trans.shape[1]
+            parts["trans"] = trans
+            parts["ids"] = np.where(
+                trans != _WIDE_NO_ID,
+                np.arange(cap_pad, dtype=np.int64)[None, :],
+                -1).astype(np.int32)
+        else:
+            parts["ids"] = np.stack(ids_b)
     base = ShardedIVFADCIndex._meta_base(config, coarse, quantizer, glayout,
                                          int(meta["dim"]))
     return ShardedIVFADCIndex._assemble(base, mesh, parts)

@@ -35,12 +35,17 @@ from ivfadc_tpu.parallel.mesh import DATA_AXIS, SHARD_AXIS, make_mesh
 
 _LANE = 128
 
+# wide-id mode: dead-slot sentinel in the host slot -> global-id translation
+# (global ids live in [0, 2^63) — int64 host stores bound them — so the
+# all-ones uint64 can never be a real id)
+WIDE_NO_ID = np.uint64(0xFFFFFFFFFFFFFFFF)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def partition_store(store, n_shards: int, align: int = 0):
+def partition_store(store, n_shards: int, align: int = 0, wide: bool = False):
     """Split one PostingStore into S stacked per-shard CSR array sets.
 
     Cells are dealt round-robin (cell c -> shard c % S) so load is balanced
@@ -53,6 +58,14 @@ def partition_store(store, n_shards: int, align: int = 0):
     alignment: 128 keeps lane-aligned starts so the grouped scan kernel can
     stream ids and emit external ids in-kernel, exactly like single-chip.
     Returns dict of np arrays with leading shard axis.
+
+    `wide=True` builds WIDE-ID parts (external ids beyond the device int32
+    cap, up to the index_dtype capacity — the reference's full UInt64 law,
+    /root/reference/src/index.jl:124): the device id arrays hold per-shard
+    SLOT indices (always < 2^31 by per-shard memory) and a host-side
+    `trans` array (S, cap) uint64 maps slot -> global id (WIDE_NO_ID in
+    dead slots). Search kernels run unchanged — they emit slots — and the
+    serving view translates winners host-side.
     """
     kc, m = store.kc, store.m
     a = align or store.align
@@ -75,6 +88,8 @@ def partition_store(store, n_shards: int, align: int = 0):
     cap_shard = _round_up(int(totals.max()), _LANE)
     codes = np.zeros((n_shards, cap_shard, m), store.code_dtype)
     ids = np.full((n_shards, cap_shard), -1, np.int64)
+    trans = np.full((n_shards, cap_shard), WIDE_NO_ID, np.uint64) \
+        if wide else None
     # one gather/scatter pair over all live rows: row r of cell c goes from
     # base slot offsets[c]+r to shard-(c%S) slot offsets_per[c%S, c]+r
     from ivfadc_tpu.parallel.persistence import _row_moves
@@ -86,12 +101,19 @@ def partition_store(store, n_shards: int, align: int = 0):
         shard_rep = owners[cell_rep]
         dst = offsets_per[shard_rep, cell_rep] + within
         codes[shard_rep, dst] = store.codes[src]
-        ids[shard_rep, dst] = store.ids[src]
+        if wide:
+            ids[shard_rep, dst] = dst          # device ids = slot indices
+            trans[shard_rep, dst] = store.ids[src].astype(np.uint64)
+        else:
+            ids[shard_rep, dst] = store.ids[src]
     window = _round_up(max(1, int(sizes_per.max())), _LANE)
-    return dict(offsets=offsets_per.astype(np.int32),
-                sizes=sizes_per.astype(np.int32),
-                codes=codes, ids=ids.astype(np.int32), window=window,
-                align=a, max_cap=int(caps_per.max()), caps=caps_per)
+    out = dict(offsets=offsets_per.astype(np.int32),
+               sizes=sizes_per.astype(np.int32),
+               codes=codes, ids=ids.astype(np.int32), window=window,
+               align=a, max_cap=int(caps_per.max()), caps=caps_per)
+    if wide:
+        out["trans"] = trans
+    return out
 
 
 def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
@@ -123,7 +145,7 @@ def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
                      "apply_rot", "residual_based", "dense", "chunk", "pb",
                      "merge", "nf", "pos8", "interpret", "overlap",
                      "gather_win", "gather_all", "coarse_engine",
-                     "extract", "rank_engine", "merge_topk"))
+                     "extract", "rank_engine", "merge_topk", "with_pos"))
 def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                          dscale, ids2d, queries, *, mesh, k: int, w: int,
                          window: int,
@@ -137,7 +159,8 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
                          coarse_engine: str | None = None,
                          extract: bool = False,
                          rank_engine: str | None = None,
-                         merge_topk: str = "pallas"):
+                         merge_topk: str = "pallas",
+                         with_pos: bool = False):
     """Queries (B, d) replicated over shard / sharded over data; per-shard CSR
     arrays stacked on a leading shard axis. `codes` is the flat PQ-code array
     in LUT mode or the decoded residual cache in dense mode. Returns
@@ -203,7 +226,13 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
             all_ids = jnp.moveaxis(all_ids, 0, 1).reshape(Bw, S * k)
             all_d = jnp.moveaxis(all_d, 0, 1).reshape(Bw, S * k)
             neg, which = jax.lax.top_k(-all_d, k)
-            return jnp.take_along_axis(all_ids, which, axis=1), -neg
+            out_i = jnp.take_along_axis(all_ids, which, axis=1)
+            if with_pos:
+                # wide-id mode: each winner's source shard (merge position
+                # // k in the (S*k)-flattened candidate row) so the host
+                # can translate (shard, slot) -> uint64 global id
+                return out_i, -neg, (which // k).astype(jnp.int32)
+            return out_i, -neg
 
         B_l = q_l.shape[0]
         if overlap and B_l >= 16:
@@ -212,22 +241,25 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
             h = B_l // 2
             g0 = gather(scan_block(q_l[:h]))
             g1 = gather(scan_block(q_l[h:]))
-            i0, d0 = rerank(*g0)
-            i1, d1 = rerank(*g1)
-            return (jnp.concatenate([i0, i1], axis=0),
-                    jnp.concatenate([d0, d1], axis=0))
+            r0 = rerank(*g0)
+            r1 = rerank(*g1)
+            return tuple(jnp.concatenate([a, b], axis=0)
+                         for a, b in zip(r0, r1))
         g = gather(scan_block(q_l))
         return rerank(*g)
 
+    n_out = 3 if with_pos else 2
     fn = shard_map(
         local_search, mesh=mesh,
         in_specs=(P(), P(), P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
                   P(SHARD_AXIS), P(), P(SHARD_AXIS), P(DATA_AXIS)),
-        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=tuple([P(DATA_AXIS)] * n_out),
         check_vma=False)
-    out_ids, out_d = fn(cq, codebooks, rotation, offsets, sizes, codes, ids,
-                        dscale, ids2d, queries.astype(jnp.float32))
-    return out_ids, metric.finalize(out_d)
+    out = fn(cq, codebooks, rotation, offsets, sizes, codes, ids,
+             dscale, ids2d, queries.astype(jnp.float32))
+    if with_pos:
+        return out[0], metric.finalize(out[1]), out[2]
+    return out[0], metric.finalize(out[1])
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -244,6 +276,16 @@ def _shift_rows(ids, threshold, delta):
     Padding slots are -1 and unaffected for threshold >= -1 (reference
     _shift_inverse_index!, /root/reference/src/utils.jl:2-20)."""
     return jnp.where(ids > threshold, ids + delta, ids)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _pushfront_renumber(ids, sentinel):
+    """push_front's id renumbering in one pass: the freshly-appended row
+    (tagged with the unused sentinel id n) becomes id 0 and every other
+    live id moves up by one (reference pushfirst! shift,
+    /root/reference/src/utils.jl:123,140-141)."""
+    return jnp.where(ids == sentinel, 0,
+                     jnp.where(ids >= 0, ids + 1, ids))
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -329,8 +371,14 @@ class ShardedIVFADCIndex:
         return out
 
     def __init__(self, index: IVFADCIndex, mesh=None):
+        from ivfadc_tpu.config import device_id_cap
         mesh = mesh if mesh is not None else make_mesh()
-        parts = partition_store(index.store, mesh.shape[SHARD_AXIS])
+        # wide-id mode once the index outgrows the device int32 id cap:
+        # device arrays carry per-shard slot indices, host carries the
+        # slot -> uint64 global-id translation (see partition_store)
+        wide = len(index) > device_id_cap()
+        parts = partition_store(index.store, mesh.shape[SHARD_AXIS],
+                                wide=wide)
         # guard rows for the dense kernel's chunked DMA — same cap_pad layout
         # as the distributed build so shard-aware persistence round-trips
         # identically for both construction paths
@@ -340,6 +388,9 @@ class ShardedIVFADCIndex:
                                    ((0, 0), (0, pad), (0, 0)))
         parts["ids"] = np.pad(parts["ids"], ((0, 0), (0, pad)),
                               constant_values=-1)
+        if wide:
+            parts["trans"] = np.pad(parts["trans"], ((0, 0), (0, pad)),
+                                    constant_values=WIDE_NO_ID)
         self._wire(index, mesh, parts, distributed=False)
         # mutation log on the base store so refresh() can patch shard
         # arrays in place after dynamic ops on the host base
@@ -395,7 +446,7 @@ class ShardedIVFADCIndex:
         """
         idx = IVFADCIndex.build_streaming(
             chunks, config, train_data=train_data,
-            train_sample=train_sample, **kwargs)
+            train_sample=train_sample, _sharded=True, **kwargs)
         return cls(idx, mesh if mesh is not None else make_mesh())
 
     @classmethod
@@ -450,6 +501,16 @@ class ShardedIVFADCIndex:
         self.max_cap = parts["max_cap"]
         self.pos8 = parts["max_cap"] <= 127 * _LANE
         self.scale = None
+        # wide-id mode (ids beyond the device int32 cap): host-side
+        # slot -> uint64 global-id translation; device ids are slot indices
+        self._trans = parts.get("trans")
+        self.wide_ids = self._trans is not None
+        if self.wide_ids and jax.process_count() > 1:
+            raise NotImplementedError(
+                "wide-id mode (ids beyond the device int32 cap) is "
+                "single-controller for now: the host-side slot->id "
+                "translation would need a per-process exchange on a "
+                "multi-host runtime")
         shard_sh = NamedSharding(mesh, P(SHARD_AXIS))
         repl = NamedSharding(mesh, P())
 
@@ -573,20 +634,77 @@ class ShardedIVFADCIndex:
         self._apply_incremental(store, cells, ops)
         self._last_refresh = "incremental"
 
+    def fork(self) -> "ShardedIVFADCIndex":
+        """Consistent-snapshot clone for epoch-swap serving (serving.py).
+
+        The native mutation path patches the stacked CSR arrays with
+        DONATED scatters (`_patch_rows`), which reuse the input buffers —
+        so a reader still holding the pre-mutation arrays would race the
+        in-place write. The fork device-copies those arrays (sharding
+        preserved), clones the host bookkeeping, and forks the base index;
+        replicated components (centroids, codebooks, mesh) are shared.
+        Mutations on either side never touch the other's buffers."""
+        new = object.__new__(type(self))
+        new.__dict__.update(self.__dict__)
+        lut_alias = self.shard_pq_codes is self.arrays.get("codes")
+        new.arrays = {key: (None if a is None else jnp.copy(a))
+                      for key, a in self.arrays.items() if key != "ids2d"}
+        new.shard_pq_codes = (new.arrays["codes"] if lut_alias
+                              else jnp.copy(self.shard_pq_codes))
+        if self.arrays.get("ids2d") is not None:
+            new.arrays["ids2d"] = new.arrays["ids"].reshape(
+                self.n_shards, -1, _LANE)
+        new._h_offsets = self._h_offsets.copy()
+        new._h_sizes = self._h_sizes.copy()
+        new._h_caps = self._h_caps.copy()
+        if self._trans is not None:
+            new._trans = self._trans.copy()
+        new.index = self.index.fork()
+        if not self._distributed_build:
+            # fresh per-fork mutation log; replay any entries the parent
+            # had pending (mutations applied to the base but not yet
+            # refreshed into the shard arrays) so the fork starts in sync
+            old_log = getattr(self, "_mlog", None)
+            new._mlog = new.index.store.attach_mutation_log()
+            if old_log is not None and (old_log.overflow or old_log.cells
+                                        or old_log.ops):
+                new._mlog.cells = set(old_log.cells)
+                new._mlog.ops = list(old_log.ops)
+                new._mlog.overflow = old_log.overflow
+                new.refresh()
+        return new
+
     def _apply_incremental(self, store, cells, ops) -> None:
         S = self.n_shards
-        ids_arr = self.arrays["ids"]
         # 1) global id renumberings, in op order (padding slots are -1 and
         #    unaffected: shift only moves ids > threshold >= -1, rank only
-        #    ids >= 0) — exactly the base store's _dev_shift/_dev_rank logic
-        for op in ops:
-            if op[0] == "shift":
-                _, t, delta = op
-                ids_arr = _shift_rows(ids_arr, jnp.int32(t), jnp.int32(delta))
-            else:
-                dels = jnp.asarray(np.asarray(op[1]), ids_arr.dtype)
-                ids_arr = _rank_shift_rows(ids_arr, dels)
-        self.arrays["ids"] = ids_arr
+        #    ids >= 0) — exactly the base store's _dev_shift/_dev_rank
+        #    logic. Wide-id mode replays them on the HOST translation
+        #    instead: device ids are slot indices and never renumber.
+        if self.wide_ids:
+            t = self._trans
+            for op in ops:
+                live = t != WIDE_NO_ID
+                if op[0] == "shift":
+                    _, thr, delta = op
+                    sel = live & (t.view(np.int64) > thr) if thr >= 0 \
+                        else live
+                    t[sel] = (t[sel].view(np.int64) + delta).view(np.uint64)
+                else:
+                    dels = np.asarray(op[1]).astype(np.uint64)
+                    t[live] -= np.searchsorted(dels, t[live]) \
+                        .astype(np.uint64)
+        else:
+            ids_arr = self.arrays["ids"]
+            for op in ops:
+                if op[0] == "shift":
+                    _, t, delta = op
+                    ids_arr = _shift_rows(ids_arr, jnp.int32(t),
+                                          jnp.int32(delta))
+                else:
+                    dels = jnp.asarray(np.asarray(op[1]), ids_arr.dtype)
+                    ids_arr = _rank_shift_rows(ids_arr, dels)
+            self.arrays["ids"] = ids_arr
         # 2) dirty cells: scatter current host-truth rows into the owner
         #    shard's slots (covering the old extent so shrunk cells clear)
         s_idx, r_idx, id_vals, code_rows = [], [], [], []
@@ -604,7 +722,15 @@ class ShardedIVFADCIndex:
                 if new_sz:
                     rows[:new_sz] = store._code_rows(
                         np.arange(o_src, o_src + new_sz))
-                    idv[:new_sz] = store.ids[o_src:o_src + new_sz]
+                    if self.wide_ids:
+                        # device gets slot indices; globals go to trans
+                        idv[:new_sz] = np.arange(o_dst, o_dst + new_sz)
+                        self._trans[s, o_dst:o_dst + new_sz] = \
+                            store.ids[o_src:o_src + new_sz].astype(np.uint64)
+                    else:
+                        idv[:new_sz] = store.ids[o_src:o_src + new_sz]
+                if self.wide_ids:
+                    self._trans[s, o_dst + new_sz:o_dst + span] = WIDE_NO_ID
                 s_idx.append(np.full(span, s, np.int32))
                 r_idx.append(np.arange(o_dst, o_dst + span, dtype=np.int32))
                 id_vals.append(idv)
@@ -685,6 +811,64 @@ class ShardedIVFADCIndex:
                 "single-controller only for now; on a multi-host runtime "
                 "save + consolidate/reshard, mutate, and re-load instead")
 
+    def _ensure_id_headroom(self, extra: int) -> None:
+        """Before appending `extra` points: enforce the index_dtype capacity
+        law (/root/reference/src/utils.jl:134-135), and switch to wide-id
+        mode when the append would cross the device int32 id cap while the
+        dtype still has headroom — the reference's full UInt64 capacity."""
+        from ivfadc_tpu.config import DTYPE_TO_BITS, device_id_cap
+        bits = DTYPE_TO_BITS[self.index.config.index_dtype]
+        n_after = len(self.index) + extra
+        if n_after > (1 << bits):
+            raise AssertionError(
+                f"Index would exceed capacity for dtype "
+                f"{self.index.config.index_dtype} ({1 << bits} vectors)")
+        if self.wide_ids or n_after <= device_id_cap():
+            return
+        if (1 << bits) <= device_id_cap():
+            raise AssertionError(
+                f"Index would exceed capacity for dtype "
+                f"{self.index.config.index_dtype} "
+                f"({device_id_cap()} vectors)")
+        self._upgrade_to_wide()
+
+    def _upgrade_to_wide(self) -> None:
+        """Value-mode -> wide-id-mode switch: snapshot the current device
+        global ids into the host slot -> uint64 translation and rewrite the
+        device id arrays to per-shard slot indices. One-way (a wide view
+        never narrows back; saving + loading preserves wideness)."""
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "wide-id upgrade is single-controller; on a multi-host "
+                "runtime rebuild via ShardedIVFADCIndex.build")
+        S, cap_pad = self.arrays["ids"].shape
+        trans = np.full((S, cap_pad), WIDE_NO_ID, np.uint64)
+        if self._distributed_build:
+            ids_h = np.asarray(self.arrays["ids"])
+            live = ids_h >= 0
+            trans[live] = ids_h[live].astype(np.uint64)
+        else:
+            # host truth (the base store) carries the global ids; map them
+            # through the same row-move math partition_store used
+            from ivfadc_tpu.parallel.persistence import _row_moves
+            store = self.index.store
+            sz = np.asarray(store.sizes, np.int64)
+            if sz.sum():
+                cell_rep, within = _row_moves(sz)
+                s_rep = (cell_rep % S).astype(np.int64)
+                dst = self._h_offsets[s_rep, cell_rep] + within
+                src = np.asarray(store.offsets, np.int64)[cell_rep] + within
+                trans[s_rep, dst] = store.ids[src].astype(np.uint64)
+            live = trans != WIDE_NO_ID
+        slot_ids = np.where(
+            live, np.arange(cap_pad, dtype=np.int64)[None, :], -1)
+        self.arrays["ids"] = jax.device_put(
+            slot_ids.astype(np.int32), NamedSharding(self.mesh,
+                                                     P(SHARD_AXIS)))
+        self._sync_ids2d()
+        self._trans = trans
+        self.wide_ids = True
+
     def _encode_batch(self, points: np.ndarray):
         """Nearest cell + PQ codes for a batch, on device — the same
         assignment/encode the base index uses for push
@@ -702,6 +886,7 @@ class ShardedIVFADCIndex:
         """Append with id = n (reference push!,
         /root/reference/src/utils.jl:114). Works on host-based AND
         distributed-built views."""
+        self._ensure_id_headroom(1)
         if not self._distributed_build:
             self.index.push(point)
             self.refresh()
@@ -714,26 +899,20 @@ class ShardedIVFADCIndex:
 
     def push_batch(self, points) -> None:
         """Append many points (ids n..n+B-1), like IVFADCIndex.push_batch."""
-        if not self._distributed_build:
-            self.index.push_batch(points)
-            self.refresh()
-            return
-        self._require_native_ops()
         points = np.asarray(points, np.float32)
         if points.ndim != 2 or points.shape[1] != self.index.dim:
             raise AssertionError(
                 f"push_batch expects (B, {self.index.dim}) points, "
                 f"got {points.shape}")
-        from ivfadc_tpu.config import DEVICE_ID_CAP, DTYPE_TO_BITS
-        bits = DTYPE_TO_BITS[self.index.config.index_dtype]
-        cap = min(1 << bits, DEVICE_ID_CAP)
-        n0 = len(self.index)
-        if n0 + len(points) > cap:
-            raise AssertionError(
-                f"Index would exceed capacity for dtype "
-                f"{self.index.config.index_dtype} ({cap} vectors)")
+        self._ensure_id_headroom(len(points))
+        if not self._distributed_build:
+            self.index.push_batch(points)
+            self.refresh()
+            return
+        self._require_native_ops()
         if len(points) == 0:        # no-op, like the host-based path
             return
+        n0 = len(self.index)
         cells, codes = self._encode_batch(points)
         self._native_append(
             cells, codes, np.arange(n0, n0 + len(points), dtype=np.int64))
@@ -741,6 +920,7 @@ class ShardedIVFADCIndex:
     def push_front(self, point) -> None:
         """Insert with id = 0, shifting every live id up by one
         (reference pushfirst!, /root/reference/src/utils.jl:123,140-141)."""
+        self._ensure_id_headroom(1)
         if not self._distributed_build:
             self.index.push_front(point)
             self.refresh()
@@ -748,10 +928,22 @@ class ShardedIVFADCIndex:
         self._require_native_ops()
         self.index._check_push(np.asarray(point, np.float32))
         cells, codes = self._encode_batch(np.asarray(point, np.float32)[None])
-        self.arrays["ids"] = _shift_rows(self.arrays["ids"],
-                                         jnp.int32(-1), jnp.int32(1))
-        self._sync_ids2d()
-        self._native_append(cells, codes, np.zeros(1, np.int64))
+        # append FIRST with the (unused) sentinel id n, then renumber in one
+        # pass (sentinel -> 0, everyone else +1): if the append fails
+        # mid-way (regrow OOM, device error) no id has shifted yet, so the
+        # view stays usable — the advisor-flagged partial-state window
+        n = len(self.index)
+        self._native_append(cells, codes, np.asarray([n], np.int64))
+        if self.wide_ids:
+            # device ids are slots — the renumber is pure host arithmetic
+            live = self._trans != WIDE_NO_ID
+            t = self._trans
+            t[live] = np.where(t[live] == np.uint64(n), np.uint64(0),
+                               t[live] + np.uint64(1))
+        else:
+            self.arrays["ids"] = _pushfront_renumber(self.arrays["ids"],
+                                                     jnp.int32(n))
+            self._sync_ids2d()
 
     def pop(self) -> np.ndarray:
         """Remove & reconstruct the last-inserted point (id n-1)
@@ -815,17 +1007,23 @@ class ShardedIVFADCIndex:
 
     def _fetch_by_id(self, ext_id: int):
         """(cell, code row) for one external id, straight off the shards."""
-        pad = 8
-        targets = np.full(pad, 2**31 - 1, np.int64)
-        targets[0] = ext_id
-        pos, found = _locate_rows(
-            self.arrays["ids"],
-            jnp.asarray(targets, self.arrays["ids"].dtype))
-        if int(found) != 1:
-            raise KeyError(f"id {ext_id} not present in the index")
-        p = int(np.asarray(pos)[0])
-        cap_pad = self.arrays["ids"].shape[1]
-        s, slot = divmod(p, cap_pad)
+        if self.wide_ids:
+            hits = np.nonzero(self._trans == np.uint64(ext_id))
+            if len(hits[0]) != 1:
+                raise KeyError(f"id {ext_id} not present in the index")
+            s, slot = int(hits[0][0]), int(hits[1][0])
+        else:
+            pad = 8
+            targets = np.full(pad, 2**31 - 1, np.int64)
+            targets[0] = ext_id
+            pos, found = _locate_rows(
+                self.arrays["ids"],
+                jnp.asarray(targets, self.arrays["ids"].dtype))
+            if int(found) != 1:
+                raise KeyError(f"id {ext_id} not present in the index")
+            p = int(np.asarray(pos)[0])
+            cap_pad = self.arrays["ids"].shape[1]
+            s, slot = divmod(p, cap_pad)
         idx = jnp.full(8, s, jnp.int32), jnp.full(8, slot, jnp.int32)
         _, rows = _gather_rows(self.arrays["ids"], self.shard_pq_codes,
                                *idx)
@@ -850,14 +1048,24 @@ class ShardedIVFADCIndex:
         s_idx = (sc % S).astype(np.int32)
         r_idx = (self._h_offsets[s_idx, sc] + store.sizes[sc]
                  + within).astype(np.int32)
-        self._patch_payload(s_idx, r_idx, new_ids[order], code_rows[order])
+        if self.wide_ids:
+            # device ids are slot indices; the uint64 globals go into the
+            # host translation at the same coordinates
+            self._patch_payload(s_idx, r_idx, r_idx.astype(np.int64),
+                                code_rows[order])
+            self._trans[s_idx, r_idx] = new_ids[order].astype(np.uint64)
+        else:
+            self._patch_payload(s_idx, r_idx, new_ids[order],
+                                code_rows[order])
         store.sizes = new_sizes
         self._h_sizes[owners, allc] = new_sizes
         self._upload_sizes()
 
     def _native_delete(self, dels: np.ndarray) -> None:
         """Remove rows by external id: compact each dirty cell in place
-        (survivors keep order), then rank-shift every surviving id."""
+        (survivors keep order), then rank-shift every surviving id. In
+        wide-id mode the locate and the rank shift are pure host work on
+        the translation (device ids are slot indices and never renumber)."""
         store = self.index.store
         n = len(self.index)
         if dels.size == 0:
@@ -871,15 +1079,24 @@ class ShardedIVFADCIndex:
         dels_p = np.concatenate(
             [dels, np.full(Dp - D, np.int64(2**31 - 1))])
         ids_dt = self.arrays["ids"].dtype
-        pos, found = _locate_rows(self.arrays["ids"],
-                                  jnp.asarray(dels_p, ids_dt))
-        if int(found) != D:
-            raise KeyError(
-                f"only {int(found)}/{D} of the requested ids are present")
-        pos = np.asarray(pos)[:D].astype(np.int64)
         cap_pad = self.arrays["ids"].shape[1]
-        s_all = pos // cap_pad
-        slot_all = pos % cap_pad
+        if self.wide_ids:
+            dels_u = dels.astype(np.uint64)
+            s_all, slot_all = np.nonzero(np.isin(self._trans, dels_u))
+            if len(s_all) != D:
+                raise KeyError(
+                    f"only {len(s_all)}/{D} of the requested ids are present")
+            s_all = s_all.astype(np.int64)
+            slot_all = slot_all.astype(np.int64)
+        else:
+            pos, found = _locate_rows(self.arrays["ids"],
+                                      jnp.asarray(dels_p, ids_dt))
+            if int(found) != D:
+                raise KeyError(
+                    f"only {int(found)}/{D} of the requested ids are present")
+            pos = np.asarray(pos)[:D].astype(np.int64)
+            s_all = pos // cap_pad
+            slot_all = pos % cap_pad
         cells_all = np.empty(D, np.int64)
         for s in np.unique(s_all):
             mk = s_all == s
@@ -902,18 +1119,32 @@ class ShardedIVFADCIndex:
         got_ids, got_codes = _gather_rows(
             self.arrays["ids"], self.shard_pq_codes,
             jnp.asarray(fs), jnp.asarray(fr))
-        got_ids = np.array(got_ids)[:n_rows]      # writable host copies
-        got_codes = np.array(got_codes)[:n_rows]
-        # compact per cell: survivors in order, cleared tail
-        keep = ~np.isin(got_ids, dels)
-        id_vals = np.where(keep, got_ids, -1)
+        got_codes = np.array(got_codes)[:n_rows]  # writable host copies
+        if self.wide_ids:
+            span_gids = self._trans[fs[:n_rows], fr[:n_rows]]
+            keep = ~np.isin(span_gids, dels_u)
+            id_vals = np.where(keep, fr[:n_rows].astype(np.int64), -1)
+        else:
+            got_ids = np.array(got_ids)[:n_rows]
+            keep = ~np.isin(got_ids, dels)
+            id_vals = np.where(keep, got_ids, -1)
         # stable partition: survivors first within each cell's span
         o = 0
         for c in dirty:
             sz = int(store.sizes[c])
             span_keep = keep[o:o + sz]
             kcnt = int(span_keep.sum())
-            id_vals[o:o + kcnt] = got_ids[o:o + sz][span_keep]
+            if self.wide_ids:
+                # survivors land in the first kcnt slots of the cell —
+                # device id value == destination slot; translation follows
+                s = int(c) % self.n_shards
+                off = int(self._h_offsets[s, c])
+                id_vals[o:o + kcnt] = fr[o:o + kcnt].astype(np.int64)
+                self._trans[s, off:off + kcnt] = \
+                    span_gids[o:o + sz][span_keep]
+                self._trans[s, off + kcnt:off + sz] = WIDE_NO_ID
+            else:
+                id_vals[o:o + kcnt] = got_ids[o:o + sz][span_keep]
             id_vals[o + kcnt:o + sz] = -1
             got_codes[o:o + kcnt] = got_codes[o:o + sz][span_keep]
             got_codes[o + kcnt:o + sz] = 0
@@ -925,10 +1156,15 @@ class ShardedIVFADCIndex:
         self._patch_payload(fs[:n_rows], fr[:n_rows],
                             id_vals.astype(np.int64), got_codes)
         self._upload_sizes()
-        # surviving ids shift down past the deleted ranks (device-side)
-        self.arrays["ids"] = _rank_shift_rows(self.arrays["ids"],
-                                              jnp.asarray(dels_p, ids_dt))
-        self._sync_ids2d()
+        # surviving ids shift down past the deleted ranks
+        if self.wide_ids:
+            live = self._trans != WIDE_NO_ID
+            t = self._trans
+            t[live] -= np.searchsorted(dels_u, t[live]).astype(np.uint64)
+        else:
+            self.arrays["ids"] = _rank_shift_rows(self.arrays["ids"],
+                                                  jnp.asarray(dels_p, ids_dt))
+            self._sync_ids2d()
 
     def _regrow_distributed(self, new_sizes: np.ndarray) -> None:
         """Re-layout the per-shard CSR blocks for a grown cell histogram.
@@ -970,8 +1206,20 @@ class ShardedIVFADCIndex:
         mk = jax.device_put(mask, shard_sh)
         new_codes = _regather(self.shard_pq_codes, g, mk,
                               mesh=self.mesh, fill=0)
-        new_ids = _regather(self.arrays["ids"], g, mk,
-                            mesh=self.mesh, fill=-1)
+        trans_new = None
+        if self.wide_ids:
+            # device ids are slot indices: the re-laid-out pattern is known
+            # host-side (mask == live rows), and the uint64 translation
+            # moves with the rows — no device gather for either
+            new_ids = jax.device_put(
+                np.where(mask, np.arange(cap_pad, dtype=np.int64)[None, :],
+                         -1).astype(np.int32), shard_sh)
+            trans_new = np.full((S, cap_pad), WIDE_NO_ID, np.uint64)
+            if tot:
+                trans_new[s_rep, dst] = self._trans[s_rep, src]
+        else:
+            new_ids = _regather(self.arrays["ids"], g, mk,
+                                mesh=self.mesh, fill=-1)
         # global single-store-equivalent layout must keep holding the grown
         # sizes too (save/consolidate/reshard derive from it)
         g_want = np.ceil(new_sizes * grow).astype(np.int64) + 8
@@ -992,6 +1240,8 @@ class ShardedIVFADCIndex:
             align=self.align,
             max_cap=int(caps_per.max(initial=0)),
         )
+        if trans_new is not None:
+            parts["trans"] = trans_new
         self._wire(self.index, self.mesh, parts, distributed=True)
 
     def _dispatch(self, queries, k: int, w: int, overlap: bool
@@ -1027,7 +1277,7 @@ class ShardedIVFADCIndex:
         q = jax.device_put(q, NamedSharding(self.mesh, P(DATA_AXIS)))
         include_base = (cfg.score_mode == "reference"
                         or not self.index.quant_metric.residual_based)
-        ids, dists = _sharded_search_impl(
+        out = _sharded_search_impl(
             self.coarse, self.codebooks, self.rotation,
             self.arrays["offsets"], self.arrays["sizes"],
             self.arrays["codes"] if dense else self.shard_pq_codes,
@@ -1047,8 +1297,25 @@ class ShardedIVFADCIndex:
             overlap=overlap,
             coarse_engine=_env_coarse_engine(),
             extract=_env_extract(), rank_engine=_env_rank_engine(),
-            merge_topk=_env_merge_topk())
-        return ids, dists, B
+            merge_topk=_env_merge_topk(), with_pos=self.wide_ids)
+        if self.wide_ids:
+            return out[0], out[2], out[1], B
+        return out[0], None, out[1], B
+
+    def _translate_wide(self, slots: np.ndarray, shards: np.ndarray
+                        ) -> np.ndarray:
+        """Wide-id epilogue: (per-shard slot, shard) winner coordinates ->
+        uint64 global ids via the host translation. Empty results (slot -1)
+        become WIDE_NO_ID pads (the uint64 analogue of the -1 pad)."""
+        out = np.full(slots.shape, WIDE_NO_ID, np.uint64)
+        valid = slots >= 0
+        out[valid] = self._trans[shards[valid], slots[valid]]
+        return out
+
+    def _valid_rows(self, ids: np.ndarray) -> np.ndarray:
+        """Pad mask for one padded result row (wide mode pads with
+        WIDE_NO_ID instead of -1)."""
+        return ids != WIDE_NO_ID if self.wide_ids else ids >= 0
 
     def search(self, points, k: int, w: int = 1):
         """knn_search parity over the sharded view — same contract as
@@ -1070,11 +1337,11 @@ class ShardedIVFADCIndex:
         ids, dists = self.search_padded(pts, k, w=w)
         id_dtype = np.dtype(self.index.config.index_dtype)
         if single:
-            m = ids[0] >= 0
+            m = self._valid_rows(ids[0])
             return ids[0][m].astype(id_dtype), dists[0][m].astype(out_dtype)
         out_i, out_d = [], []
         for row_i, row_d in zip(ids, dists):
-            m = row_i >= 0
+            m = self._valid_rows(row_i)
             out_i.append(row_i[m].astype(id_dtype))
             out_d.append(row_d[m].astype(out_dtype))
         return out_i, out_d
@@ -1086,9 +1353,15 @@ class ShardedIVFADCIndex:
         with the single-chip path; `overlap=True` double-buffers the
         cross-shard merge, which changes float accumulation grouping and so
         drifts within cache-quantization noise (~1e-3 relative) — the
-        throughput-oriented `search_stream` turns it on by default."""
-        ids, dists, B = self._dispatch(queries, k, w, overlap)
-        return self._host(ids)[:B], self._host(dists)[:B]
+        throughput-oriented `search_stream` turns it on by default.
+
+        Wide-id mode returns uint64 ids padded with WIDE_NO_ID (2^64-1);
+        otherwise int32 ids padded with -1, like the single-chip path."""
+        ids, shards, dists, B = self._dispatch(queries, k, w, overlap)
+        ids_h = self._host(ids)[:B]
+        if self.wide_ids:
+            ids_h = self._translate_wide(ids_h, self._host(shards)[:B])
+        return ids_h, self._host(dists)[:B]
 
     def _host(self, arr: jax.Array) -> np.ndarray:
         """Host-fetch a search output. Under a real multi-process runtime
@@ -1122,6 +1395,12 @@ class ShardedIVFADCIndex:
             return (np.empty((0, k), np.int32), np.empty((0, k), np.float32))
         outs = [self._dispatch(queries[s:s + batch], k, w, overlap)
                 for s in range(0, n, batch)]
-        ids = np.concatenate([self._host(i)[:b] for i, _, b in outs])
-        dists = np.concatenate([self._host(d)[:b] for _, d, b in outs])
+        if self.wide_ids:
+            ids = np.concatenate([
+                self._translate_wide(self._host(i)[:b], self._host(sh)[:b])
+                for i, sh, _, b in outs])
+        else:
+            ids = np.concatenate([self._host(i)[:b]
+                                  for i, _, _, b in outs])
+        dists = np.concatenate([self._host(d)[:b] for _, _, d, b in outs])
         return ids, dists

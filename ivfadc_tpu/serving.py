@@ -13,16 +13,31 @@ when either `max_batch` queries are waiting or the oldest request has
 waited `max_wait_ms`. Latency/throughput trade-off is explicit: max_wait
 bounds added latency, max_batch bounds per-dispatch work.
 
-Single-process, thread-safe for search AND mutation: dynamic index
-mutations go through the searcher (`push`/`push_batch`/`push_front`/
-`pop`/`pop_front`/`delete`, or an arbitrary `mutate(fn)`), which takes the
-write side of a readers-writer lock while dispatches take the read side —
-every dispatch runs against a consistent index version (the store's device
-patches are DONATED in-place updates, so an unsynchronized mutation could
-invalidate buffers an in-flight dispatch still holds), and a mutation waits
-only for in-flight dispatches to drain (one batch, ~ms) before the next
-epoch opens. Mutating the wrapped index directly while submits are in
-flight is NOT supported — route mutations through the searcher.
+Mutation model — epoch snapshots, readers never stall:
+
+Dynamic index mutations go through the searcher (`push`/`push_batch`/
+`push_front`/`pop`/`pop_front`/`delete`, or an arbitrary `mutate(fn)`).
+A mutation forks a consistent read-only snapshot of the index
+(`IVFADCIndex.fork` / `ShardedIVFADCIndex.fork`: copy-on-write host state;
+device buffers copied exactly where the mutation path would donate them
+in place), points new dispatches at the snapshot, waits only for the few
+in-flight dispatches still holding the live index's buffers to drain
+(~one batch), runs the mutation on the live index, then swaps dispatches
+back. Searches therefore NEVER queue behind a mutation — they serve the
+previous epoch while the next is being built — and every dispatch sees a
+consistent index version. Mutations serialize with each other. Mutations
+apply to the wrapped index object itself, so the caller's handle reflects
+them once `mutate` returns.
+
+Reentrancy: a search submitted while `fn` runs (including from inside
+`fn`) dispatches against the snapshot epoch and resolves normally — but
+`fn` itself must not BLOCK on such a future forever if the flusher is
+saturated; ordinary submit-and-wait from other threads is always safe.
+Mutating the wrapped index directly while submits are in flight is NOT
+supported — route mutations through the searcher.
+
+Indexes without a `fork()` method (duck-typed stand-ins) fall back to
+stop-the-world: dispatches drain and queue while the mutation runs.
 """
 
 from __future__ import annotations
@@ -46,44 +61,6 @@ class _Pending:
         self.t_enq = t_enq
 
 
-class _RWLock:
-    """Writer-preference readers-writer lock: search dispatches share the
-    read side; index mutations take the write side. Writer preference (new
-    readers wait once a writer is queued) keeps a steady query stream from
-    starving mutations."""
-
-    def __init__(self):
-        self._cond = threading.Condition()
-        self._readers = 0
-        self._writer = False
-        self._writers_waiting = 0
-
-    def acquire_read(self) -> None:
-        with self._cond:
-            while self._writer or self._writers_waiting:
-                self._cond.wait()
-            self._readers += 1
-
-    def release_read(self) -> None:
-        with self._cond:
-            self._readers -= 1
-            if self._readers == 0:
-                self._cond.notify_all()
-
-    def acquire_write(self) -> None:
-        with self._cond:
-            self._writers_waiting += 1
-            while self._writer or self._readers:
-                self._cond.wait()
-            self._writers_waiting -= 1
-            self._writer = True
-
-    def release_write(self) -> None:
-        with self._cond:
-            self._writer = False
-            self._cond.notify_all()
-
-
 class BatchingSearcher:
     """Coalesce concurrent search requests into shared device dispatches.
 
@@ -104,7 +81,7 @@ class BatchingSearcher:
                  stats: Optional[SearchStats] = None):
         assert max_batch >= 1 and max_wait_ms >= 0 and pipeline >= 1
         from concurrent.futures import ThreadPoolExecutor
-        self._index = index
+        self._index = index                # the live (caller-owned) index
         self._max_batch = max_batch
         self._max_wait = max_wait_ms / 1e3
         self.stats = stats if stats is not None else SearchStats()
@@ -113,7 +90,14 @@ class BatchingSearcher:
         self._closed = False
         self._pool = ThreadPoolExecutor(max_workers=pipeline,
                                         thread_name_prefix="ivfadc-dispatch")
-        self._view_lock = _RWLock()
+        # epoch state: dispatches read `_epoch`; a mutation swaps it to a
+        # forked snapshot while the live index is being written. `_inflight`
+        # counts dispatches per epoch object so the mutation can drain just
+        # the readers of the buffers it is about to invalidate.
+        self._epoch_cond = threading.Condition()
+        self._epoch = index
+        self._inflight: dict = {}          # id(epoch) -> active dispatches
+        self._mut_lock = threading.Lock()  # serializes mutations
         self._thread = threading.Thread(target=self._flusher, daemon=True,
                                         name="ivfadc-serving-flusher")
         self._thread.start()
@@ -147,16 +131,44 @@ class BatchingSearcher:
         return self.submit(query, k, w).result(timeout=timeout)
 
     # --------------------------------------------------------- mutation API
+    def _wait_readers(self, obj) -> None:
+        """Block until no dispatch holds `obj` (typically < one batch)."""
+        with self._epoch_cond:
+            while self._inflight.get(id(obj), 0):
+                self._epoch_cond.wait()
+
     def mutate(self, fn):
-        """Apply `fn(index)` under the write lock: waits for in-flight
-        dispatches to drain, excludes new ones while fn runs, then reopens.
-        Dispatches never observe a half-mutated store; dispatches submitted
-        after mutate() returns see the new index version."""
-        self._view_lock.acquire_write()
-        try:
-            return fn(self._index)
-        finally:
-            self._view_lock.release_write()
+        """Apply `fn(index)` to the live index under epoch isolation: new
+        dispatches are redirected to a forked snapshot, the handful of
+        dispatches still on the live buffers drain, fn runs, dispatches
+        swap back. Searches keep flowing the whole time (they observe the
+        pre-mutation epoch until the swap); dispatches submitted after
+        mutate() returns see the new index version."""
+        with self._mut_lock:
+            live = self._index
+            fork = getattr(live, "fork", None)
+            if fork is None:
+                # duck-typed index without snapshot support: stop-the-world
+                # (drain every dispatch, block new ones on the epoch wait)
+                with self._epoch_cond:
+                    self._epoch = None
+                self._wait_readers(live)
+                try:
+                    return fn(live)
+                finally:
+                    with self._epoch_cond:
+                        self._epoch = live
+                        self._epoch_cond.notify_all()
+            snap = fork()
+            with self._epoch_cond:
+                self._epoch = snap
+            self._wait_readers(live)
+            try:
+                return fn(live)
+            finally:
+                with self._epoch_cond:
+                    self._epoch = live
+                    self._epoch_cond.notify_all()
 
     def push(self, point) -> None:
         self.mutate(lambda ix: ix.push(point))
@@ -243,19 +255,39 @@ class BatchingSearcher:
             # happens there, so the next group can flush immediately
             self._pool.submit(self._dispatch, key, take)
 
+    def _acquire_epoch(self):
+        """Current epoch + in-flight lease. Blocks only in the no-fork
+        stop-the-world fallback (epoch is None while a mutation runs)."""
+        with self._epoch_cond:
+            while self._epoch is None:
+                self._epoch_cond.wait()
+            epoch = self._epoch
+            self._inflight[id(epoch)] = self._inflight.get(id(epoch), 0) + 1
+            return epoch
+
+    def _release_epoch(self, epoch) -> None:
+        with self._epoch_cond:
+            left = self._inflight.get(id(epoch), 1) - 1
+            if left:
+                self._inflight[id(epoch)] = left
+            else:
+                self._inflight.pop(id(epoch), None)
+                self._epoch_cond.notify_all()
+
     def _dispatch(self, key: Tuple[int, int], take: List[_Pending]) -> None:
         k, w = key
         queries = np.concatenate([p.queries for p in take])
         t0 = time.perf_counter()
         try:
-            # read side of the view lock: the dispatch holds the current
-            # index version's device buffers; a concurrent mutate() (whose
-            # donated patches would invalidate them) waits for the drain
-            self._view_lock.acquire_read()
+            # lease the current epoch: its device buffers stay valid for
+            # the whole dispatch (a concurrent mutation redirects newer
+            # dispatches to a snapshot and waits for this lease to drop
+            # before donating the live buffers)
+            epoch = self._acquire_epoch()
             try:
-                ids, dists = self._index.search_padded(queries, k, w)
+                ids, dists = epoch.search_padded(queries, k, w)
             finally:
-                self._view_lock.release_read()
+                self._release_epoch(epoch)
         except Exception as e:              # propagate to every caller
             for p in take:
                 p.future.set_exception(e)

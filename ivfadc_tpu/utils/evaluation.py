@@ -62,6 +62,12 @@ def recall_at_r(found_ids: np.ndarray, gt_ids: np.ndarray, r: int) -> float:
     hits = 0
     for s in range(0, f.shape[0], block):
         fb, gb = f[s:s + block], g[s:s + block]
+        # mask repeats within a found row (keep only each id's first
+        # occurrence): the old set-based recall deduplicated, and a future
+        # engine bug emitting duplicate ids must depress recall, not
+        # silently inflate it by counting one true neighbor several times
+        first = (fb[:, :, None] == fb[:, None, :]).argmax(axis=2) \
+            == np.arange(fb.shape[1])[None, :]
         eq = fb[:, :, None] == gb[:, None, :]
-        hits += int(np.logical_and(eq.any(axis=2), fb >= 0).sum())
+        hits += int((eq.any(axis=2) & (fb >= 0) & first).sum())
     return float(hits) / (f.shape[0] * r)
