@@ -582,11 +582,25 @@ class ShardedIVFADCIndex:
         # otherwise (distributed build / sharded load) they are recovered
         # from the offsets diff — the cumsum layout makes off[c+1] - off[c]
         # the cell's capacity, with the guarded array tail bounding the last
-        # owner cell. Multi-host restores zero-fill non-owned shards' rows;
-        # native dynamic ops are single-process-gated so that's harmless.
+        # owner cell.
         off = np.asarray(parts["offsets"], np.int64)
+        sizes_h = np.asarray(parts["sizes"], np.int64).copy()
+        if jax.process_count() > 1:
+            # per-host restores zero-fill the rows of shards a process does
+            # not address, but native dynamic ops need the FULL layout on
+            # every process (the donated patch programs are SPMD — all
+            # processes must compute identical scatter coordinates).
+            # Repair by an elementwise max across processes: real entries
+            # are >= 0 and zero-fill is 0, so max recovers the owner's
+            # values everywhere (the device arrays were always complete —
+            # _put assembles them from each process's addressable rows).
+            from jax.experimental import multihost_utils
+            off = np.asarray(multihost_utils.process_allgather(off)
+                             ).max(axis=0)
+            sizes_h = np.asarray(multihost_utils.process_allgather(sizes_h)
+                                 ).max(axis=0)
         self._h_offsets = off
-        self._h_sizes = np.asarray(parts["sizes"], np.int64).copy()
+        self._h_sizes = sizes_h
         if "caps" in parts:
             self._h_caps = np.asarray(parts["caps"], np.int64)
         else:
@@ -803,13 +817,16 @@ class ShardedIVFADCIndex:
     # loaded views (payload-free base) patch the shard arrays natively:
     # encode on device (centroids/codebooks are replicated), scatter rows
     # into the owner shard's CSR block, replay id renumbering device-side.
-
-    def _require_native_ops(self) -> None:
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "native dynamic ops on a distributed-built sharded view are "
-                "single-controller only for now; on a multi-host runtime "
-                "save + consolidate/reshard, mutate, and re-load instead")
+    #
+    # Multi-host: native ops follow the SPMD contract every other entry
+    # point uses — EVERY process calls the same mutation with the same
+    # data. Encoding runs on replicated components (identical results
+    # everywhere), the host-side slot math is process-invariant, the
+    # donated patch/renumber programs are global SPMD computations each
+    # process enters identically, and every host fetch of device state
+    # goes through `_host` (replicate-then-read). A 2-process gloo test
+    # (tests/test_multiprocess.py::test_two_process_native_dynamic_ops)
+    # pins this against a single-process twin.
 
     def _ensure_id_headroom(self, extra: int) -> None:
         """Before appending `extra` points: enforce the index_dtype capacity
@@ -876,9 +893,11 @@ class ShardedIVFADCIndex:
         from ivfadc_tpu.ops import pq as pq_ops
         q = jnp.asarray(points, jnp.float32)
         cells, _ = self.coarse.search(q, 1)
-        cells = np.asarray(cells)[:, 0].astype(np.int64)
+        # _host, not np.asarray: on a multi-process runtime the jit outputs
+        # may come back sharded — replicate before reading
+        cells = self._host(cells)[:, 0].astype(np.int64)
         resid = q - self.coarse.centroids[jnp.asarray(cells)]
-        codes = np.asarray(pq_ops.encode(self.index.quantizer, resid,
+        codes = self._host(pq_ops.encode(self.index.quantizer, resid,
                                          metric=self.index.quant_metric))
         return cells, codes
 
@@ -891,7 +910,6 @@ class ShardedIVFADCIndex:
             self.index.push(point)
             self.refresh()
             return
-        self._require_native_ops()
         self.index._check_push(np.asarray(point, np.float32))
         cells, codes = self._encode_batch(np.asarray(point, np.float32)[None])
         self._native_append(cells, codes,
@@ -909,7 +927,6 @@ class ShardedIVFADCIndex:
             self.index.push_batch(points)
             self.refresh()
             return
-        self._require_native_ops()
         if len(points) == 0:        # no-op, like the host-based path
             return
         n0 = len(self.index)
@@ -925,7 +942,6 @@ class ShardedIVFADCIndex:
             self.index.push_front(point)
             self.refresh()
             return
-        self._require_native_ops()
         self.index._check_push(np.asarray(point, np.float32))
         cells, codes = self._encode_batch(np.asarray(point, np.float32)[None])
         # append FIRST with the (unused) sentinel id n, then renumber in one
@@ -952,7 +968,6 @@ class ShardedIVFADCIndex:
             out = self.index.pop()
             self.refresh()
             return out
-        self._require_native_ops()
         n = len(self.index)
         if n == 0:
             raise IndexError("pop from empty index")
@@ -967,7 +982,6 @@ class ShardedIVFADCIndex:
             out = self.index.pop_front()
             self.refresh()
             return out
-        self._require_native_ops()
         if len(self.index) == 0:
             raise IndexError("pop from empty index")
         cell, codes = self._fetch_by_id(0)
@@ -984,7 +998,6 @@ class ShardedIVFADCIndex:
             self.index.delete(ids)
             self.refresh()
             return
-        self._require_native_ops()
         dels = np.unique(np.asarray(list(ids), np.int64))
         self._native_delete(dels)
 
@@ -992,9 +1005,6 @@ class ShardedIVFADCIndex:
         """Decode the stored approximation of a point (non-destructive)."""
         if not self._distributed_build:
             return self.index.reconstruct(ext_id)
-        # same single-controller gate as the mutating ops: _locate_rows over
-        # zero-filled non-addressable rows would hang or miscount multi-host
-        self._require_native_ops()
         cell, codes = self._fetch_by_id(int(ext_id))
         return self.index._reconstruct_from(cell, codes)
 
@@ -1019,15 +1029,15 @@ class ShardedIVFADCIndex:
             pos, found = _locate_rows(
                 self.arrays["ids"],
                 jnp.asarray(targets, self.arrays["ids"].dtype))
-            if int(found) != 1:
+            if int(self._host(found)) != 1:
                 raise KeyError(f"id {ext_id} not present in the index")
-            p = int(np.asarray(pos)[0])
+            p = int(self._host(pos)[0])
             cap_pad = self.arrays["ids"].shape[1]
             s, slot = divmod(p, cap_pad)
         idx = jnp.full(8, s, jnp.int32), jnp.full(8, slot, jnp.int32)
         _, rows = _gather_rows(self.arrays["ids"], self.shard_pq_codes,
                                *idx)
-        return self._slot_to_cell(s, slot), np.asarray(rows)[0].copy()
+        return self._slot_to_cell(s, slot), self._host(rows)[0].copy()
 
     def _native_append(self, cells: np.ndarray, code_rows: np.ndarray,
                        new_ids: np.ndarray) -> None:
@@ -1091,10 +1101,11 @@ class ShardedIVFADCIndex:
         else:
             pos, found = _locate_rows(self.arrays["ids"],
                                       jnp.asarray(dels_p, ids_dt))
-            if int(found) != D:
+            found = int(self._host(found))
+            if found != D:
                 raise KeyError(
-                    f"only {int(found)}/{D} of the requested ids are present")
-            pos = np.asarray(pos)[:D].astype(np.int64)
+                    f"only {found}/{D} of the requested ids are present")
+            pos = self._host(pos)[:D].astype(np.int64)
             s_all = pos // cap_pad
             slot_all = pos % cap_pad
         cells_all = np.empty(D, np.int64)
@@ -1119,13 +1130,13 @@ class ShardedIVFADCIndex:
         got_ids, got_codes = _gather_rows(
             self.arrays["ids"], self.shard_pq_codes,
             jnp.asarray(fs), jnp.asarray(fr))
-        got_codes = np.array(got_codes)[:n_rows]  # writable host copies
+        got_codes = np.array(self._host(got_codes))[:n_rows]  # writable
         if self.wide_ids:
             span_gids = self._trans[fs[:n_rows], fr[:n_rows]]
             keep = ~np.isin(span_gids, dels_u)
             id_vals = np.where(keep, fr[:n_rows].astype(np.int64), -1)
         else:
-            got_ids = np.array(got_ids)[:n_rows]
+            got_ids = np.array(self._host(got_ids))[:n_rows]
             keep = ~np.isin(got_ids, dels)
             id_vals = np.where(keep, got_ids, -1)
         # stable partition: survivors first within each cell's span

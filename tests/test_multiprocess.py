@@ -73,6 +73,21 @@ elif phase == "wrap_refresh":
     ids_1, d_1 = idx.search_padded(data[:32], 5, w=4)
     assert np.array_equal(np.asarray(ids_s), np.asarray(ids_1)), "refresh"
     ids, dists = ids_s, d_s
+elif phase == "native_dynamic":
+    # SPMD native dynamic ops on a distributed-built (payload-free) view:
+    # every process calls the same mutations with the same data; the
+    # donated patch/renumber programs run as global SPMD computations and
+    # host fetches replicate first (_host). Round-4 verdict item 3.
+    sv = ShardedIVFADCIndex.build(data, mesh=mesh, config=cfg)
+    sv.push_batch(data[:8] + 0.5)
+    sv.delete([3, 10, 100])
+    sv.push_front(data[7] * 1.01)
+    popped = sv.pop()
+    assert popped.shape == (32,), popped.shape
+    rec = sv.reconstruct(0)
+    assert rec.shape == (32,), rec.shape
+    ids, dists = sv.search_padded(data[:32], 5, w=4)
+    save_sharded_index(sv_dir, sv)
 elif phase == "stream":
     # multi-host out-of-core ingest: every process streams the SAME files
     # (the documented contract — the dataset is on shared storage), builds
@@ -213,6 +228,47 @@ def test_two_process_reshard_on_load(tmp_path):
     np.testing.assert_array_equal(la["ids"], a["ids"])
     np.testing.assert_array_equal(lb["ids"], a["ids"])
     np.testing.assert_allclose(la["dists"], a["dists"], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_native_dynamic_ops(tmp_path):
+    """Native push_batch/delete/push_front/pop on a distributed-built view
+    under a real 2-process group (round-4 verdict item 3): both processes
+    observe identical results, and those results exactly match a
+    single-process twin applying the same mutations on the same-shape
+    global mesh."""
+    out = str(tmp_path)
+    sv = os.path.join(out, "svd")
+    _run_pair("native_dynamic", out, sv, n_data=2)
+    a = np.load(os.path.join(out, "res_native_dynamic_0.npz"))
+    b = np.load(os.path.join(out, "res_native_dynamic_1.npz"))
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+    np.testing.assert_array_equal(a["dists"], b["dists"])
+
+    # single-process twin: same global mesh shape (data=2 x shard=4), same
+    # build + mutation sequence — the distributed-runtime results must be
+    # bit-identical ids
+    from ivfadc_tpu.config import IVFADCConfig
+    from ivfadc_tpu.parallel.mesh import make_mesh
+    from ivfadc_tpu.parallel.sharded import ShardedIVFADCIndex
+    rng = np.random.RandomState(0)
+    data = rng.rand(4096, 32).astype(np.float32)
+    cfg = IVFADCConfig(kc=64, m=4, k=16, index_dtype="uint32",
+                       coarse_maxiter=5, quantization_maxiter=5)
+    tw = ShardedIVFADCIndex.build(data, mesh=make_mesh(n_data=2), config=cfg)
+    tw.push_batch(data[:8] + 0.5)
+    tw.delete([3, 10, 100])
+    tw.push_front(data[7] * 1.01)
+    tw.pop()
+    ti, td = tw.search_padded(data[:32], 5, w=4)
+    np.testing.assert_array_equal(a["ids"], np.asarray(ti))
+    np.testing.assert_allclose(a["dists"], np.asarray(td),
+                               rtol=1e-5, atol=1e-6)
+
+    # the post-mutation state persists from the process group and loads back
+    _run_pair("load", out, sv, n_data=2)
+    la = np.load(os.path.join(out, "res_load_0.npz"))
+    np.testing.assert_array_equal(la["ids"], a["ids"])
 
 
 @pytest.mark.slow
