@@ -234,3 +234,42 @@ def test_empty_push_batch_is_noop(dist_view):
     assert len(sidx.index) == n0
     ids_after, _ = sidx.search_padded(data[:8], 5, w=4)
     np.testing.assert_array_equal(ids_before, ids_after)
+
+
+def test_native_mutations_are_single_sync():
+    """Fused mutation contract (round-4 verdict item 4): one device->host
+    sync per native push_batch (the cells fetch) and per delete (the
+    locate fetch; zero in wide mode), with the whole row-data epilogue a
+    single donated program — no row ever crosses to host."""
+    data = _clustered(1200, 16, 8, seed=3)
+    sidx = ShardedIVFADCIndex.build(
+        data, make_mesh(n_shards=4, n_data=2), kc=32, m=4, k=16,
+        index_dtype="uint32", seed=2)
+    rng = np.random.RandomState(0)
+    extra = rng.rand(16, 16).astype(np.float32)
+    # warm every traced shape first (compiles would not add syncs, but keep
+    # the count assertion about steady state)
+    sidx.push_batch(extra)
+    sidx.delete([5, 10, 700])
+
+    counts = {"n": 0}
+    orig = sidx._host
+
+    def counting_host(arr):
+        counts["n"] += 1
+        return orig(arr)
+
+    sidx._host = counting_host
+    try:
+        sidx.push_batch(rng.rand(16, 16).astype(np.float32))
+        push_syncs = counts["n"]
+        counts["n"] = 0
+        sidx.delete([3, 17, 400])
+        del_syncs = counts["n"]
+    finally:
+        sidx._host = orig
+    assert push_syncs == 1, push_syncs
+    assert del_syncs == 1, del_syncs
+    # state stays searchable and consistent after the fused ops
+    ids, _ = sidx.search_padded(data[:8], 5, w=4)
+    assert (np.asarray(ids)[:, 0] >= 0).all()
