@@ -35,6 +35,10 @@ class KMeansResult(NamedTuple):
     assignments: jax.Array   # (n,) int32
 
 
+# beyond this k, "kmeans++" seeding runs as k-means|| (kmeans_parallel)
+_PP_MAX_K = 4096
+
+
 def _pad_blocks(x: jax.Array, block: int):
     """Zero-pad points to a multiple of `block`; returns (blocks, mask_blocks)."""
     n, d = x.shape
@@ -84,6 +88,77 @@ def kmeans_plus_plus(key: jax.Array, x: jax.Array, k: int,
 
     centers, _ = jax.lax.fori_loop(1, k, body, (centers0, mind0))
     return centers
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "rounds", "m_r", "block", "metric"))
+def _kmeans_parallel_impl(key, x, k: int, rounds: int, m_r: int,
+                          block: int, metric: Metric):
+    """k-means||-style seeding (after Bahmani et al., VLDB'12) in
+    MXU-friendly form.
+
+    Sequential k-means++ is a k-step loop of rank-1 updates — hours at
+    Deep1B's kc=2^18 — so beyond _PP_MAX_K seeding runs this parallel
+    variant: `rounds` rounds each draw `m_r` seeds by D^2-weighted
+    sampling WITHOUT replacement (Gumbel-top-m_r: one sort per round, no
+    sequential draws), and the running min-distance updates against each
+    round's whole batch as one blocked matmul pass. The k seeds are the
+    pooled draws themselves — measured on separated-cluster data, a
+    weighted "recluster the pool" step only HURT spread versus taking the
+    pool at rounds=16 (within-round redundancy is the residual gap to
+    sequential k-means++: two nearby far-away points can both be drawn in
+    the same round; more rounds shrink it, rounds == k recovers k-means++
+    exactly). Already-chosen points have distance 0 => weight 0 => are
+    never redrawn.
+    """
+    n, d = x.shape
+    x = x.astype(jnp.float32)
+    k0, kloop = jax.random.split(key)
+    first = x[jax.random.randint(k0, (), 0, n)]
+    mind0 = metric.pairwise(x, first[None, :])[:, 0]
+    cand0 = jnp.zeros((1 + rounds * m_r, d), jnp.float32).at[0].set(first)
+
+    x_blocks, mask_blocks = _pad_blocks(x, block)
+
+    def min_vs(mind, new_c):
+        """Blocked mind update against a (m_r, d) candidate batch."""
+        def step(carry, xb_mb):
+            xb, mb = xb_mb
+            dmin = jnp.min(metric.pairwise(xb, new_c), axis=1)
+            return carry, dmin
+        _, dm = jax.lax.scan(step, 0, (x_blocks, mask_blocks))
+        return jnp.minimum(mind, dm.reshape(-1)[:n])
+
+    def round_body(j, carry):
+        cand, mind = carry
+        kj = jax.random.fold_in(kloop, j)
+        # same non-negative shift discipline as kmeans_plus_plus: metrics
+        # with negative "distances" keep ordering, sqeuclidean unchanged
+        w = jnp.maximum(mind - jnp.minimum(jnp.min(mind), 0.0), 0.0)
+        g = jnp.log(jnp.maximum(w, 1e-30)) + jax.random.gumbel(kj, (n,))
+        g = jnp.where(w > 0, g, -jnp.inf)
+        _, idx = jax.lax.top_k(g, m_r)
+        new_c = x[idx]
+        cand = jax.lax.dynamic_update_slice(cand, new_c, (1 + j * m_r, 0))
+        return cand, min_vs(mind, new_c)
+
+    cand, _ = jax.lax.fori_loop(0, rounds, round_body, (cand0, mind0))
+    return cand[:k]
+
+
+def kmeans_parallel(key: jax.Array, x: jax.Array, k: int,
+                    metric: Metric = SQEUCLIDEAN, *, rounds: int = 16,
+                    block: int = 16384) -> jax.Array:
+    """Public wrapper: (k, d) float32 seeds via parallel k-means||-style
+    D^2 seeding (see _kmeans_parallel_impl). Cost: `rounds` blocked
+    (n x k/rounds) matmul passes + one n-wide sort per round."""
+    n, _ = x.shape
+    rounds = max(1, min(rounds, k))
+    m_r = -(-k // rounds)          # pool 1 + rounds*m_r >= k
+    m_r = int(min(m_r, n))
+    block = max(256, min(block, (1 << 28) // max(m_r, 1)))
+    return _kmeans_parallel_impl(key, jnp.asarray(x, jnp.float32), k,
+                                 rounds, m_r, block, metric)
 
 
 def _assign_pass(x_blocks, mask_blocks, centers, metric: Metric):
@@ -199,17 +274,22 @@ def kmeans(key: jax.Array, x: jax.Array, k: int, *,
 
     # k-means++ is a k-step sequential loop (rank-1 distance updates) — fine
     # to a few thousand centers, hours at Deep1B-scale kc=2^18. Past the
-    # cutoff, seed from a uniform sample of distinct points; Lloyd iterations
-    # recover the quality at these k (quality asserted on recall, SURVEY §7).
-    _PP_MAX_K = 4096
+    # cutoff, seeding switches to k-means|| (kmeans_parallel): the same
+    # D^2-weighted spread, as a handful of batched matmul/top-k rounds —
+    # no more silent downgrade to random (round-4 verdict item 6; the
+    # reference always seeds :kmpp, /root/reference/src/index.jl:133).
     if init == "kmeans++" and k > _PP_MAX_K:
-        init = "random"
-    if init == "kmeans++":
+        init = "kmeans||"
+    if init in ("kmeans++", "kmeans||"):
         xs = x
         if pp_sample and pp_sample < n:
             sel = jax.random.choice(key_seed, n, (pp_sample,), replace=False)
             xs = x[sel]
-        init_centers = kmeans_plus_plus(key_init, xs, k, metric)
+        if init == "kmeans||":
+            init_centers = kmeans_parallel(key_init, xs, k, metric,
+                                           block=block)
+        else:
+            init_centers = kmeans_plus_plus(key_init, xs, k, metric)
     elif init == "random":
         sel = jax.random.choice(key_init, n, (k,), replace=False)
         init_centers = x[sel]

@@ -96,7 +96,8 @@ def distributed_kmeans(key, x, k: int, mesh, *,
     then runs `maxiter` exact distributed iterations.
     Returns (centers (k, d) replicated, assignments (n,) sharded).
     """
-    from ivfadc_tpu.ops.kmeans import kmeans_plus_plus
+    from ivfadc_tpu.ops.kmeans import (_PP_MAX_K, kmeans_parallel,
+                                       kmeans_plus_plus)
 
     axes = tuple(axes) if isinstance(axes, (tuple, list)) else (axes,)
     n_dev = int(np.prod([mesh.shape[ax] for ax in axes]))
@@ -119,7 +120,12 @@ def distributed_kmeans(key, x, k: int, mesh, *,
     sel = sample_indices(0, n, n_samp)         # O(n_samp), not O(n)
     sample = jnp.asarray(np.asarray(x)[sel]) if not isinstance(x, jax.Array) \
         else xd[jnp.asarray(sel)]
-    centers = kmeans_plus_plus(key, sample, k, metric)
+    if k > _PP_MAX_K:
+        # huge-kc seeding: k-means|| (batched rounds) — the sequential
+        # k-means++ loop would run for hours at Deep1B's kc=2^18
+        centers = kmeans_parallel(key, sample, k, metric)
+    else:
+        centers = kmeans_plus_plus(key, sample, k, metric)
     centers = jax.device_put(np.asarray(centers), NamedSharding(mesh, P()))
 
     assignments = None
