@@ -12,6 +12,7 @@ from ivfadc_tpu.parallel.bootstrap import (initialize_cluster, process_info,
                                            shutdown_cluster)
 from ivfadc_tpu.parallel.mesh import (DATA_AXIS, SHARD_AXIS, make_mesh)
 from ivfadc_tpu.parallel.persistence import (consolidate_sharded_index,
+                                             consolidate_sharded_to_file,
                                              load_sharded_index,
                                              save_sharded_index)
 from ivfadc_tpu.parallel.sharded import ShardedIVFADCIndex
@@ -19,5 +20,6 @@ from ivfadc_tpu.parallel.sharded import ShardedIVFADCIndex
 __all__ = [
     "ShardedIVFADCIndex", "make_mesh", "SHARD_AXIS", "DATA_AXIS",
     "save_sharded_index", "load_sharded_index", "consolidate_sharded_index",
+    "consolidate_sharded_to_file",
     "initialize_cluster", "shutdown_cluster", "process_info",
 ]

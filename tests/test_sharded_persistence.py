@@ -264,3 +264,100 @@ def test_consolidate_after_cell_relocation(tmp_path):
     ids_b, d_b = plain.search_padded(q, 10, w=4)
     np.testing.assert_array_equal(ids_a, ids_b)
     np.testing.assert_allclose(d_a, d_b, rtol=1e-6, atol=1e-6)
+
+
+def test_out_of_core_consolidation_matches_in_memory(tmp_path):
+    """consolidate_sharded_to_file streams shard files into a single-file
+    index one shard at a time (round-4 verdict item 7): the loaded result
+    is field-for-field identical to the in-memory consolidation, and the
+    streaming path never holds two shard payloads at once."""
+    import ivfadc_tpu.parallel.persistence as pers
+    from ivfadc_tpu import load_ivfadc_index
+    from ivfadc_tpu.parallel.persistence import (
+        consolidate_sharded_index, consolidate_sharded_to_file,
+        save_sharded_index)
+    from ivfadc_tpu.parallel.mesh import make_mesh
+    from ivfadc_tpu.parallel.sharded import ShardedIVFADCIndex
+
+    rng = np.random.RandomState(4)
+    data = rng.rand(2500, 16).astype(np.float32)
+    sidx = ShardedIVFADCIndex.build(
+        data, make_mesh(n_shards=4, n_data=2), kc=48, m=4, k=16,
+        index_dtype="uint32", seed=6)
+    d = str(tmp_path / "dir")
+    save_sharded_index(d, sidx)
+
+    mem_idx = consolidate_sharded_index(d)
+
+    # instrument np.load: at most one shard payload open at a time
+    open_shards = {"now": 0, "peak": 0}
+    real_load = np.load
+
+    class _Tracking:
+        def __init__(self, z, shard):
+            self._z, self._shard = z, shard
+
+        def __enter__(self):
+            if self._shard:
+                open_shards["now"] += 1
+                open_shards["peak"] = max(open_shards["peak"],
+                                          open_shards["now"])
+            self._z.__enter__()
+            return self._z
+
+        def __exit__(self, *exc):
+            if self._shard:
+                open_shards["now"] -= 1
+            return self._z.__exit__(*exc)
+
+    def tracking_load(fp, *a, **kw):
+        return _Tracking(real_load(fp, *a, **kw), "shard_" in str(fp))
+
+    out = str(tmp_path / "flat.npz")
+    pers.np.load = tracking_load
+    try:
+        consolidate_sharded_to_file(d, out, chunk_rows=512)
+    finally:
+        pers.np.load = real_load
+    assert open_shards["peak"] == 1, open_shards
+
+    ooc_idx = load_ivfadc_index(out)
+    assert len(ooc_idx) == len(mem_idx) == 2500
+    np.testing.assert_array_equal(ooc_idx.store.offsets, mem_idx.store.offsets)
+    np.testing.assert_array_equal(ooc_idx.store.sizes, mem_idx.store.sizes)
+    np.testing.assert_array_equal(ooc_idx.store.caps, mem_idx.store.caps)
+    np.testing.assert_array_equal(ooc_idx.store.ids, mem_idx.store.ids)
+    np.testing.assert_array_equal(ooc_idx.store.codes, mem_idx.store.codes)
+    np.testing.assert_array_equal(np.asarray(ooc_idx.coarse.centroids),
+                                  np.asarray(mem_idx.coarse.centroids))
+    i1, d1 = ooc_idx.search_padded(data[:8], 5, w=4)
+    i2, d2 = mem_idx.search_padded(data[:8], 5, w=4)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+
+def test_out_of_core_consolidation_wide_dir(tmp_path, monkeypatch):
+    """Wide-id directories stream-consolidate too: the uint64 translation
+    folds into int64 host ids identical to the in-memory path."""
+    from ivfadc_tpu.parallel.persistence import (
+        consolidate_sharded_index, consolidate_sharded_to_file,
+        save_sharded_index)
+    from ivfadc_tpu import load_ivfadc_index
+    from ivfadc_tpu.parallel.mesh import make_mesh
+    from ivfadc_tpu.parallel.sharded import ShardedIVFADCIndex
+
+    monkeypatch.setenv("IVFADC_DEVICE_ID_CAP", "1024")
+    rng = np.random.RandomState(7)
+    data = rng.rand(2000, 12).astype(np.float32)
+    sidx = ShardedIVFADCIndex.build(
+        data, make_mesh(n_shards=4, n_data=2), kc=32, m=2, k=16,
+        index_dtype="uint64", seed=1)
+    assert sidx.wide_ids
+    d = str(tmp_path / "wdir")
+    save_sharded_index(d, sidx)
+    mem_idx = consolidate_sharded_index(d)
+    out = str(tmp_path / "wflat.npz")
+    consolidate_sharded_to_file(d, out)
+    ooc_idx = load_ivfadc_index(out)
+    np.testing.assert_array_equal(ooc_idx.store.ids, mem_idx.store.ids)
+    np.testing.assert_array_equal(ooc_idx.store.codes, mem_idx.store.codes)
