@@ -146,6 +146,7 @@ def main():
            "mut_under_load_req_s": round(served3 / mut_wall, 1),
            "mut_p50_ms": round(float(np.percentile(muts, 50)) * 1e3, 1),
            "mut_serving_p50_ms": round(m50, 2),
+           "mut_serving_p99_ms": round(m99, 2),
            "clients": clients, "n": n,
            "backend": jax.default_backend()})
 

@@ -55,6 +55,13 @@ def _env_rank_engine() -> str:
     return os.environ.get("IVFADC_RANK_ENGINE", "v1")
 
 
+def _env_vbase() -> str:
+    # "qc": derive v/base IN-KERNEL from VMEM-resident queries/centroids
+    # (ops/pallas_scan.grouped_dense_scan_qc), skipping the tile-placement
+    # scatter/gather stage. "place": always pre-place v/base tiles.
+    return os.environ.get("IVFADC_VBASE", "place")
+
+
 def _env_coarse_engine() -> str:
     return os.environ.get("IVFADC_COARSE_ENGINE", "v1")
 
@@ -230,7 +237,7 @@ def _dense_probe(cq, rotation, queries, *, w: int, metric: Metric,
                      "metric", "include_base", "apply_rot", "residual_based",
                      "interpret", "gather_win", "gather_all",
                      "coarse_engine", "extract", "rank_engine",
-                     "merge_topk"))
+                     "merge_topk", "vbase"))
 def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, dscale,
                        ids2d, queries,
                        *, k: int, w: int, chunk: int, pb: int, merge: str,
@@ -241,10 +248,54 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, dscale,
                        coarse_engine: str | None = None,
                        extract: bool = False,
                        rank_engine: str | None = None,
-                       merge_topk: str = "pallas"):
+                       merge_topk: str = "pallas",
+                       vbase: str = "place"):
     """Pallas dense-scan search: coarse probe -> cell-grouped DMA'd matmul
     scan with on-chip top-k -> global merge. Mathematically identical scores
     to the LUT path (up to bf16 rounding): see ops/pallas_scan.py."""
+    if vbase == "qc":
+        from ivfadc_tpu.ops.cell_rank import MAX_KC
+        B_ = queries.shape[0]
+        kc_ = offsets.shape[0]
+        d_dec = decoded.shape[-1]
+        qc_ok = (residual_based
+                 and metric.name == "sqeuclidean"
+                 and isinstance(cq, NaiveCoarseQuantizer)
+                 and cq.metric.name == "sqeuclidean"
+                 and ids2d is not None and merge == "fold" and not extract
+                 and gather_win == 0 and B_ * w >= 4 * kc_
+                 and kc_ <= MAX_KC
+                 and B_ * d_dec * 4 <= (6 << 20)       # VMEM-resident gates
+                 and kc_ * d_dec * 4 <= (4 << 20))
+        if qc_ok:
+            from ivfadc_tpu.ops.pallas_scan import grouped_dense_scan_qc
+            q32 = queries.astype(jnp.float32)
+            # cells from the FUSED probe kernel (its plain-XLA top-w
+            # alternative costs ~1 ms more at the headline shape); the
+            # fused kernel's v/base outputs go unused here — their write
+            # traffic is the price of sharing the compiled probe
+            from ivfadc_tpu.ops.coarse_scan import coarse_probe_vbase
+            fused = coarse_probe_vbase(q32, cq.centroids, w, rotation,
+                                       apply_rot, include_base,
+                                       interpret=interpret,
+                                       engine=coarse_engine,
+                                       rot_orthogonal=True)
+            if fused is not None:
+                cells = fused[0]
+            else:
+                cells, _ = cq.search(q32, w, rank_engine=rank_engine)
+            out_d, out_p = grouped_dense_scan_qc(
+                cells, offsets, sizes, q32, cq.centroids,
+                rotation if apply_rot else None, decoded, dscale, ids2d,
+                kc=kc_, chunk=chunk, norm_coef=1.0, pb=pb, nf=nf,
+                interpret=interpret, apply_rot=apply_rot,
+                base_mult=2.0 if include_base else 1.0,
+                rank_engine=rank_engine)
+            n_cand = out_d.shape[-1]
+            ids_out, d_out = _topk_ids(out_d.reshape(B_, w * n_cand),
+                                       out_p.reshape(B_, w * n_cand), k,
+                                       interpret, merge_topk)
+            return ids_out, metric.finalize(d_out)
     cells, v, base, norm_coef = _dense_probe(
         cq, rotation, queries, w=w, metric=metric,
         include_base=include_base, apply_rot=apply_rot,
@@ -747,7 +798,7 @@ class IVFADCIndex:
                 gather_win=gather_win, gather_all=gather_all,
                 coarse_engine=_env_coarse_engine(),
                 extract=_env_extract(), rank_engine=_env_rank_engine(),
-                merge_topk=_env_merge_topk())
+                merge_topk=_env_merge_topk(), vbase=_env_vbase())
         else:
             dev = self.store.device_view()
             out_ids, out_dists = _search_impl(

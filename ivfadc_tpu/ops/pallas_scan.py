@@ -375,6 +375,143 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
         state[1] = jnp.where(fits, nchunks, 0)
 
 
+def _grouped_scan_qc_kernel(tstart_ref, tsize_ref, cidx_ref, qidx_ref,
+                            q_ref, c_ref, rot_ref, decoded_hbm, scale_ref,
+                            ids_hbm, out_d_ref, out_p_ref,
+                            cbuf, csems, ibuf, isems, state,
+                            *, chunk: int, pb: int, nf: int, int8: bool,
+                            apply_rot: bool, base_mult: float,
+                            norm_coef: float):
+    """Grouped scan with IN-KERNEL v/base derivation (round-4 verdict
+    item 5): instead of consuming pre-placed (T*pb, d) v/base tiles — whose
+    XLA placement (inv-row scatter + big row gather) was the single
+    largest non-kernel stage at ~2.7 ms — the queries and centroids stay
+    RESIDENT IN VMEM and each tile derives its rows on the fly:
+
+        r      = q[qidx[slot]] - c[cell(t)]        (dynamic VMEM row reads)
+        r_rot  = r @ R                              (OPQ only; one tiny MXU)
+        v      = -2 r_rot,  base = base_mult * ||r_rot||^2
+
+    (for sqeuclidean coarse==quant metric, cdist == ||r||^2 == ||r_rot||^2
+    under an orthogonal R, so the reference score's coarse term folds into
+    base_mult = 2; "pure" score mode uses 1.) The per-slot query index
+    rides in scalar prefetch; invalid slots carry qidx -1 and score +inf.
+    Production-config variant only: merge="fold" + emit_ids (the default
+    serving path); everything else falls back to the placement pipeline.
+    """
+    t = pl.program_id(0)
+    start = pl.multiple_of(tstart_ref[t], 128)
+    size = tsize_ref[t]
+    nchunks = pl.cdiv(size, chunk)
+    d = q_ref.shape[-1]
+
+    @pl.when(t == 0)
+    def _():
+        state[0] = -1
+        state[1] = 0
+    buffered = jnp.logical_and(state[0] == start, state[1] >= nchunks)
+
+    # ---- derive this tile's v/base from resident queries/centroids ----
+    c_row = c_ref[pl.ds(cidx_ref[t], 1), :]                  # (1, d) f32
+    qrows = []
+    qis = []
+    for p in range(pb):                                      # static unroll
+        qi = qidx_ref[t * pb + p]
+        qrows.append(q_ref[pl.ds(jnp.maximum(qi, 0), 1), :])
+        qis.append(qi)
+    q_mat = jnp.concatenate(qrows, axis=0)                   # (pb, d) f32
+    # i32 stack THEN compare: Mosaic only supports minor-dim insertion
+    # reshapes on 32-bit vectors (an i1 (pb,) -> (pb, 1) reshape fails)
+    ok_col = jnp.stack(qis).reshape(pb, 1) >= 0
+    r = q_mat - c_row
+    if apply_rot:
+        r = jax.lax.dot_general(
+            r.astype(jnp.bfloat16), rot_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    base_col = base_mult * jnp.sum(r * r, axis=1, keepdims=True)
+    base_col = jnp.where(ok_col, base_col, jnp.inf)          # (pb, 1)
+    v_mat = (-2.0 * r).astype(jnp.bfloat16)                  # (pb, d)
+
+    # ---- chunk loop: identical to _grouped_scan_kernel's fold+emit_ids ----
+    out_d_ref[...] = jnp.full((pb, nf), jnp.inf, jnp.float32)
+    out_p_ref[...] = jnp.full((pb, nf), -1, out_p_ref.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    ones = jnp.ones((1, d), jnp.bfloat16)
+    contract_last = (((1,), (1,)), ((), ()))
+
+    def dma(slot, ci):
+        return pltpu.make_async_copy(
+            decoded_hbm.at[pl.ds(start + ci * chunk, chunk), :],
+            cbuf.at[slot], csems.at[slot])
+
+    def idma(slot, ci):
+        return pltpu.make_async_copy(
+            ids_hbm.at[pl.ds((start + ci * chunk) // _CAND, chunk // _CAND),
+                       :],
+            ibuf.at[slot], isems.at[slot])
+
+    @pl.when((nchunks > 0) & jnp.logical_not(buffered))
+    def _():
+        dma(0, 0).start()
+        idma(0, 0).start()
+
+    def body(ci, _):
+        slot = ci % 2
+
+        @pl.when((ci + 1 < nchunks) & jnp.logical_not(buffered))
+        def _():
+            dma((ci + 1) % 2, ci + 1).start()
+            idma((ci + 1) % 2, ci + 1).start()
+
+        @pl.when(jnp.logical_not(buffered))
+        def _():
+            dma(slot, ci).wait()
+            idma(slot, ci).wait()
+        if int8:
+            rows = cbuf[slot].astype(jnp.bfloat16) * scale_ref[0:1, :]
+        else:
+            rows = cbuf[slot]
+        scores = jax.lax.dot_general(
+            v_mat, rows, dimension_numbers=contract_last,
+            preferred_element_type=jnp.float32)              # (pb, chunk)
+        if norm_coef != 0.0:
+            norms = jax.lax.dot_general(
+                ones, rows * rows, dimension_numbers=contract_last,
+                preferred_element_type=jnp.float32)
+            scores = scores + norm_coef * norms
+        scores = scores + base_col
+        valid = lane < (size - ci * chunk)
+        scores = jnp.where(valid, scores, jnp.inf)
+
+        nbank = nf // _CAND
+        banks_d = [out_d_ref[:, b * _CAND:(b + 1) * _CAND]
+                   for b in range(nbank)]
+        banks_p = [out_p_ref[:, b * _CAND:(b + 1) * _CAND]
+                   for b in range(nbank)]
+        idrows = ibuf[slot]
+        for g in range(chunk // _CAND):
+            b = g % nbank
+            sub = jax.lax.slice_in_dim(scores, g * _CAND, (g + 1) * _CAND,
+                                       axis=1)
+            upd = sub < banks_d[b]
+            banks_d[b] = jnp.where(upd, sub, banks_d[b])
+            pay = jax.lax.slice_in_dim(idrows, g, g + 1, axis=0)
+            banks_p[b] = jnp.where(upd, pay, banks_p[b])
+        for b in range(nbank):
+            out_d_ref[:, b * _CAND:(b + 1) * _CAND] = banks_d[b]
+            out_p_ref[:, b * _CAND:(b + 1) * _CAND] = banks_p[b]
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+    @pl.when(jnp.logical_not(buffered))
+    def _():
+        fits = jnp.logical_and(nchunks > 0, nchunks <= 2)
+        state[0] = jnp.where(fits, start, -1)
+        state[1] = jnp.where(fits, nchunks, 0)
+
+
 def _tile_map(counts, offsets, sizes, pb: int, T_max: int, kc: int):
     """Shared tile bookkeeping for `grouped_dense_scan`'s two preps: cell c
     owns ceil(counts[c]/pb) consecutive tiles starting at tile_base[c].
@@ -627,6 +764,114 @@ def _grouped_call(tile_start, tile_size, v_tiles, base_tiles, decoded, scale,
         return (dists.reshape(B, w, extract_k),
                 pids.reshape(B, w, extract_k))
     out_d, out_p = outs
+    return (out_d[row].reshape(B, w, nf),
+            out_p[row].reshape(B, w, nf))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kc", "chunk", "norm_coef", "pb", "nf", "interpret",
+                     "apply_rot", "base_mult", "rank_engine"))
+def grouped_dense_scan_qc(cells, offsets, sizes, queries, cents, rot,
+                          decoded, scale=None, ids2d=None, *, kc: int,
+                          chunk: int, norm_coef: float = 1.0, pb: int = 16,
+                          nf: int = _CAND, interpret: bool = False,
+                          apply_rot: bool = False, base_mult: float = 2.0,
+                          rank_engine: str | None = None):
+    """`grouped_dense_scan` with IN-KERNEL v/base derivation (see
+    _grouped_scan_qc_kernel): takes raw (B, dq) float32 queries + (kc, dq)
+    centroids instead of pre-expanded v/base tiles, eliminating the
+    placement scatter/gather stage entirely. Production-config only
+    (merge="fold", id emission via ids2d, counting-rank prep): callers
+    gate on those conditions and fall back to `grouped_dense_scan`.
+    Returns (cand_d (B, w, nf) f32, cand_ids (B, w, nf) i32 EXTERNAL)."""
+    from ivfadc_tpu.ops.cell_rank import MAX_KC, cell_ranks
+    assert ids2d is not None and kc <= MAX_KC
+    assert nf % _CAND == 0 and chunk % nf == 0, (nf, chunk)
+    int8 = decoded.dtype == jnp.int8
+    if int8 and scale is None:
+        raise ValueError("int8 decoded cache requires a scale vector")
+    B, w = cells.shape
+    P = B * w
+    d_dec = decoded.shape[-1]
+    dq = queries.shape[-1]
+    q_pad = queries.astype(jnp.float32)
+    c_pad = cents.astype(jnp.float32)
+    if dq != d_dec:
+        q_pad = jnp.pad(q_pad, ((0, 0), (0, d_dec - dq)))
+        c_pad = jnp.pad(c_pad, ((0, 0), (0, d_dec - dq)))
+    if B % 8:
+        q_pad = jnp.pad(q_pad, ((0, 8 - B % 8), (0, 0)))
+    kc_pad = -(-kc // 8) * 8
+    if kc_pad != kc:
+        c_pad = jnp.pad(c_pad, ((0, kc_pad - kc), (0, 0)))
+    if rot is None:
+        rot_pad = jnp.eye(d_dec, dtype=jnp.bfloat16)
+    else:
+        dr = rot.shape[0]
+        rot_pad = jnp.eye(d_dec, dtype=jnp.float32) \
+            .at[:dr, :dr].set(rot.astype(jnp.float32)) \
+            .astype(jnp.bfloat16)
+    T_max = P // pb + min(kc, P) + 1
+    cells_flat = cells.reshape(-1).astype(jnp.int32)
+    ranks, counts = cell_ranks(cells_flat, kc=kc, interpret=interpret,
+                               engine=rank_engine)
+    tile_base, c_t, _, _, tile_start, tile_size = _tile_map(
+        counts, offsets, sizes, pb, T_max, kc)
+    row = (tile_base[cells_flat] + ranks // pb) * pb + ranks % pb
+    inv_row = jnp.full((T_max * pb,), P, jnp.int32) \
+        .at[row].set(jnp.arange(P, dtype=jnp.int32), unique_indices=True)
+    # per-slot query index (probe // w); the ONLY per-slot placement work —
+    # (T*pb,) i32 arithmetic instead of a (T*pb, d) row gather
+    qidx = jnp.where(inv_row < P, inv_row // w, -1).astype(jnp.int32)
+
+    if int8:
+        scale8 = jnp.broadcast_to(
+            scale.astype(jnp.bfloat16)[None, :], (8, d_dec))
+    else:
+        scale8 = jnp.ones((8, d_dec), jnp.bfloat16)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(T_max,),
+        in_specs=[
+            pl.BlockSpec((q_pad.shape[0], d_dec), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc_pad, d_dec), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_dec, d_dec), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((8, d_dec), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((pb, nf), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pb, nf), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, d_dec), jnp.int8 if int8 else jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, chunk // _CAND, _CAND), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(_grouped_scan_qc_kernel, chunk=chunk, pb=pb,
+                               nf=nf, int8=int8, apply_rot=apply_rot,
+                               base_mult=base_mult, norm_coef=norm_coef)
+    out_d, out_p = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T_max * pb, nf), jnp.float32),
+            jax.ShapeDtypeStruct((T_max * pb, nf), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tile_start, tile_size, c_t, qidx,
+      q_pad, c_pad, rot_pad, decoded, scale8, ids2d)
     return (out_d[row].reshape(B, w, nf),
             out_p[row].reshape(B, w, nf))
 
