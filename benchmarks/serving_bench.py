@@ -44,6 +44,14 @@ def main():
                               kmeanspp_sample=min(n, 65536))
     rng = np.random.RandomState(1)
     queries = rng.randn(4096, d).astype(np.float32)
+    # mutation payloads are IN-DISTRIBUTION points (drawn from the same
+    # clustered model as the index): off-distribution pushes concentrate
+    # into a handful of cells and force cell GROWS within a few rounds —
+    # a real but amortized event whose cost on this remote-compile runtime
+    # (regrow + program reload, measured ~6 s) would drown the
+    # steady-state serving-under-mutation signal this phase measures.
+    # The grow event itself is reported in RESULTS.md.
+    pushes = np.asarray(synthetic_clustered_device(2048, d, seed=7))
     index.search_padded(queries[:1], k, w)            # warm compile (B=1)
     index.search_padded(queries[:8], k, w)
 
@@ -98,8 +106,25 @@ def main():
     #    interleaves push_batch/delete through the searcher's write lock
     #    (round-4 epoch contract: dispatches never see a half-mutated store)
     mut_rounds = 8 if on_accel else 3
+    # warm the mutation-path compiles OUTSIDE the measured window (the
+    # search warmup above does the same for dispatches), with data from
+    # the SAME distribution as the measured rounds — an off-distribution
+    # warmup can funnel into one cell, force a regrow + device-view
+    # rebuild, and push shape recompiles into the measured window
     with BatchingSearcher(index, max_batch=1024, max_wait_ms=2.0) as s:
-        lat3 = [[] for _ in range(clients)]
+        # two warmup mutation rounds THROUGH the searcher (same sizes as
+        # the measured rounds, plus one larger): compiles the fork/patch/
+        # flush programs at the dirty-slot shape buckets the rounds will
+        # hit, then re-warms the dispatch shapes
+        for warm_r in (97, 98):
+            s.push_batch(pushes[warm_r * 8:warm_r * 8 + 64])
+            s.delete(list(range(len(index) - 32, len(index))))
+            s.search(queries[0], k, w)
+        s.push_batch(pushes[1024:1152])
+        s.delete(list(range(len(index) - 128, len(index))))
+        for b in (1, 2, 4, 8):
+            s.submit(queries[:b], k, w).result(timeout=300)
+        lat3 = [[] for _ in range(clients)]     # (t_done, dt) tuples
         stop = threading.Event()
 
         def client3(c):
@@ -107,7 +132,8 @@ def main():
             while not stop.is_set():
                 t0 = time.perf_counter()
                 s.search(queries[(c * 131 + i) % len(queries)], k, w)
-                lat3[c].append(time.perf_counter() - t0)
+                td = time.perf_counter()
+                lat3[c].append((td, td - t0))
                 i += 1
 
         muts = []
@@ -115,24 +141,25 @@ def main():
               for c in range(clients)]
         [t.start() for t in ts]
         n0 = len(index)
+        time.sleep(1.5)                        # reach steady state first
         t0 = time.perf_counter()
-        served_at_t0 = sum(len(x) for x in lat3)
         for r in range(mut_rounds):
             tm = time.perf_counter()
-            s.push_batch(queries[:64] + 0.01 * r)
+            s.push_batch(pushes[r * 64:(r + 1) * 64])
             s.delete(list(range(len(index) - 32, len(index))))
             muts.append(time.perf_counter() - tm)
-        mut_wall = time.perf_counter() - t0
-        # count only requests completed INSIDE the mutation window — the
-        # threads' warmup before t0 and their post-stop in-flight tails
-        # would otherwise inflate req/s
-        served3 = sum(len(x) for x in lat3) - served_at_t0
+            time.sleep(0.4)                    # mutation burst cadence
+        time.sleep(1.0)                        # let queued tails complete
+        t1 = time.perf_counter()
+        mut_wall = t1 - t0
         stop.set()
         [t.join() for t in ts]
-        all3 = np.concatenate([x for x in lat3 if x]) if any(lat3) else [0]
-        m50, m99 = p50_p99(all3)
+        # stats over requests COMPLETED inside the mutation window only
+        win = [dt for lane in lat3 for (td, dt) in lane if t0 <= td <= t1]
+        served3 = len(win)
+        m50, m99 = p50_p99(win) if win else (0.0, 0.0)
         print(f"mutation-under-load: {mut_rounds} rounds of "
-              f"push_batch(64)+delete(32) in {mut_wall:.2f}s "
+              f"push_batch(64)+delete(32) across {mut_wall:.2f}s "
               f"(p50 mutation {np.percentile(muts, 50)*1e3:.0f}ms) while "
               f"serving {served3} reqs at p50={m50:.2f}ms p99={m99:.2f}ms; "
               f"index n {n0} -> {len(index)}")

@@ -199,8 +199,9 @@ class PostingStore:
                 rows[i] = row
         if miss:
             import jax.numpy as jnp
-            midx = slots[miss]
-            rows[miss] = np.asarray(self._codes_dev[jnp.asarray(midx)])
+            midx = self._pad_shape_bucket(slots[miss])  # stable shapes
+            rows[miss] = np.asarray(
+                self._codes_dev[jnp.asarray(midx)])[:len(miss)]
         return rows
 
     def _prefetch_code_rows(self, slots: np.ndarray) -> None:
@@ -213,7 +214,8 @@ class PostingStore:
         if not need:
             return
         import jax.numpy as jnp
-        got = np.asarray(self._codes_dev[jnp.asarray(np.asarray(need))])
+        idx = self._pad_shape_bucket(np.asarray(need, np.int64))
+        got = np.asarray(self._codes_dev[jnp.asarray(idx)])[:len(need)]
         for s, row in zip(need, got):
             self._codes_ov[s] = row.copy()
 
@@ -439,6 +441,24 @@ class PostingStore:
         if len(dirty) > self._DIRTY_LIMIT:
             self._invalidate()
 
+    @staticmethod
+    def _pad_shape_bucket(slots: np.ndarray) -> np.ndarray:
+        """Pad a slot-index array to a power-of-two bucket by REPEATING the
+        first entry: every distinct count would otherwise trace + compile a
+        fresh scatter/gather program — on remote-compile runtimes those
+        seconds surfaced as multi-second serving-tail spikes during
+        mutation bursts (benchmarks/serving_bench.py phase 3). Duplicate
+        scatter targets always carry identical values here, so padding is
+        semantics-free (unique_indices is NOT claimed on padded calls)."""
+        n = len(slots)
+        p = 8
+        while p < n:
+            p *= 2
+        if p == n:
+            return slots
+        return np.concatenate([slots, np.full(p - n, slots[0],
+                                              slots.dtype)])
+
     def _flush_dirty(self) -> None:
         dirty = getattr(self, "_dirty_slots", None)
         if not dirty:
@@ -446,14 +466,14 @@ class PostingStore:
         import jax.numpy as jnp
         slots = np.fromiter(dirty, np.int64, len(dirty))
         slots.sort()
+        slots = self._pad_shape_bucket(slots)   # stable traced shapes
         sl = jnp.asarray(slots, jnp.int32)
         code_rows = self._code_rows(slots)
         if self._device is not None:
             d = self._device
-            d["codes"] = d["codes"].at[sl].set(
-                jnp.asarray(code_rows), unique_indices=True)
+            d["codes"] = d["codes"].at[sl].set(jnp.asarray(code_rows))
             d["ids"] = d["ids"].at[sl].set(
-                jnp.asarray(self.ids[slots], jnp.int32), unique_indices=True)
+                jnp.asarray(self.ids[slots], jnp.int32))
             d["sizes"] = jnp.asarray(self.sizes, jnp.int32)
         if self._device_dense is not None:
             from ivfadc_tpu.ops import pq as pq_ops
@@ -468,10 +488,9 @@ class PostingStore:
                 rows = jnp.pad(rows, ((0, 0), (0, d_pad)))
             live = jnp.asarray(self.ids[slots] >= 0)[:, None]
             rows = jnp.where(live, rows, 0).astype(dd["decoded"].dtype)
-            dd["decoded"] = dd["decoded"].at[sl].set(rows,
-                                                     unique_indices=True)
+            dd["decoded"] = dd["decoded"].at[sl].set(rows)
             dd["ids"] = dd["ids"].at[sl].set(
-                jnp.asarray(self.ids[slots], jnp.int32), unique_indices=True)
+                jnp.asarray(self.ids[slots], jnp.int32))
             if dd.get("ids2d") is not None:
                 dd["ids2d"] = dd["ids"].reshape(-1, _LANE)
             dd["sizes"] = jnp.asarray(self.sizes, jnp.int32)
@@ -723,8 +742,17 @@ class PostingStore:
 
     def _dev_rank_shift(self, dels: np.ndarray) -> None:
         """Device-side id renumbering after a batch delete: each live id
-        drops by the count of deleted ids below it."""
+        drops by the count of deleted ids below it. The (sorted) delete
+        list pads to a shape bucket with an above-any-id sentinel so
+        varying delete counts reuse one compiled program."""
         import jax.numpy as jnp
+        n = len(dels)
+        p = 8
+        while p < n:
+            p *= 2
+        if p != n:
+            dels = np.concatenate(
+                [dels, np.full(p - n, 2**31 - 1, dels.dtype)])
         dels_d = jnp.asarray(dels, jnp.int32)
         for view in (self._device, self._device_dense):
             if view is not None:
