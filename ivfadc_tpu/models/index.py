@@ -239,7 +239,7 @@ def _dense_probe(cq, rotation, queries, *, w: int, metric: Metric,
                      "coarse_engine", "extract", "rank_engine",
                      "merge_topk", "vbase"))
 def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, dscale,
-                       ids2d, queries,
+                       ids2d, norms2d, queries,
                        *, k: int, w: int, chunk: int, pb: int, merge: str,
                        nf: int, pos8: bool, metric: Metric,
                        include_base: bool, apply_rot: bool,
@@ -307,7 +307,8 @@ def _dense_search_impl(cq, rotation, offsets, sizes, decoded, ids, dscale,
         k=k, w=w, chunk=chunk, pb=pb, merge=merge, nf=nf,
         norm_coef=norm_coef, pos8=pos8, interpret=interpret,
         gather_win=gather_win, gather_all=gather_all,
-        extract=extract, rank_engine=rank_engine, merge_topk=merge_topk)
+        extract=extract, rank_engine=rank_engine, merge_topk=merge_topk,
+        norms2d=norms2d)
     return out_ids, metric.finalize(out_dists)
 
 
@@ -376,7 +377,8 @@ def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, dscale,
                   ids2d, *,
                   k, w, chunk, pb, merge, nf, norm_coef, interpret,
                   pos8=False, gather_win=0, gather_all=False,
-                  extract=False, rank_engine=None, merge_topk="pallas"):
+                  extract=False, rank_engine=None, merge_topk="pallas",
+                  norms2d=None):
     """Engine selection + scan + per-device merge: returns raw (ids, dists)
     — callers apply `metric.finalize` exactly once (the sharded path merges
     across shards first). Shared by single-chip and shard-local search."""
@@ -397,9 +399,12 @@ def _dense_finish(cells, v, base, offsets, sizes, decoded, ids, dscale,
         extract_k = k_out if (emit_ids and 2 * k_out <= 128
                               and extract) else 0
         # probes share cells heavily -> cell-grouped kernel amortizes DMA
+        use_norms = (norms2d is not None and emit_ids and merge == "fold"
+                     and not extract_k and norm_coef != 0.0)
         out_d, out_p = grouped_dense_scan(
             cells, offsets, sizes, v, base, decoded, dscale,
-            ids2d if emit_ids else None, kc=kc_,
+            ids2d if emit_ids else None,
+            norms2d if use_norms else None, kc=kc_,
             k_out=k_out, chunk=chunk, norm_coef=norm_coef, pb=pb, merge=merge,
             nf=nf if merge == "fold" else 128, pos8=pos8, interpret=interpret,
             extract_k=extract_k, rank_engine=rank_engine)
@@ -786,7 +791,7 @@ class IVFADCIndex:
             out_ids, out_dists = _dense_search_impl(
                 self.coarse, self.quantizer.rotation,
                 dev["offsets"], dev["sizes"], dev["decoded"], dev["ids"],
-                dev["scale"], dev["ids2d"], q,
+                dev["scale"], dev["ids2d"], dev.get("norms2d"), q,
                 k=k, w=w, chunk=chunk, pb=self.config.scan_pb,
                 merge=self._resolve_merge_mode(),
                 nf=self.config.scan_fold_lanes,

@@ -25,6 +25,7 @@ external ids always form {0..n-1}; delete/pushfirst shift neighbors
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -39,6 +40,25 @@ def _round_up(x: int, m: int) -> int:
 def jnp_where_shift(ids, threshold: int, delta: int):
     import jax.numpy as jnp
     return jnp.where(ids > threshold, ids + delta, ids)
+
+
+def _row_norms(decoded, scale, block: int = 262144):
+    """Per-row ||r_hat||^2 of a decoded cache, computed exactly as the
+    scan kernel would (bf16 dequant rows, f32 accumulation), blocked so the
+    f32 temporaries never exceed ~128 MB."""
+    import jax.numpy as jnp
+    n = decoded.shape[0]
+    outs = []
+    for s0 in range(0, max(n, 1), block):
+        blk = decoded[s0:s0 + block]
+        if blk.dtype == jnp.int8:
+            rows = blk.astype(jnp.bfloat16) * scale[None, :].astype(
+                jnp.bfloat16)
+        else:
+            rows = blk
+        outs.append(jnp.sum(
+            rows.astype(jnp.float32) * rows.astype(jnp.float32), axis=1))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
 class MutationLog:
@@ -493,6 +513,14 @@ class PostingStore:
                 jnp.asarray(self.ids[slots], jnp.int32))
             if dd.get("ids2d") is not None:
                 dd["ids2d"] = dd["ids"].reshape(-1, _LANE)
+            if dd.get("norms2d") is not None:
+                # norm of the DEQUANTIZED row (int8 caches: q * scale)
+                rq = rows.astype(jnp.float32)
+                if dd.get("scale") is not None:
+                    rq = rq * dd["scale"][None, :].astype(jnp.float32)
+                nrm = jnp.sum(rq * rq, axis=1)
+                flat = dd["norms2d"].reshape(-1).at[sl].set(nrm)
+                dd["norms2d"] = flat.reshape(-1, _LANE)
             dd["sizes"] = jnp.asarray(self.sizes, jnp.int32)
         self._dirty_slots = set()
 
@@ -630,6 +658,11 @@ class PostingStore:
         for view in (self._device, self._device_dense):
             if view is None:
                 continue
+            if view.get("norms2d") is not None:
+                # the cached norm stream would need the same row moves;
+                # grows are rare — rebuild the view instead
+                self._invalidate()
+                return
             key = "codes" if "codes" in view else "decoded"
             need = new_total + view.get("guard", 0)
             if view[key].shape[0] < need or view["ids"].shape[0] < need:
@@ -889,12 +922,19 @@ class PostingStore:
             ids2d = ids.reshape(-1, _LANE) \
                 if self.align % _LANE == 0 and ids.shape[0] % _LANE == 0 \
                 else None
+            norms2d = None
+            if ids2d is not None and os.environ.get("IVFADC_NORMS") == "cache":
+                # cached ||r_hat||^2 per row, in the same (rows/128, 128)
+                # stream layout as ids2d: the grouped kernel DMAs it with
+                # the chunk and skips its norms matmul (A/B knob)
+                norms2d = _row_norms(decoded, scale).reshape(-1, _LANE)
             self._device_dense = dict(
                 offsets=jnp.asarray(self.offsets, jnp.int32),
                 sizes=jnp.asarray(self.sizes, jnp.int32),
                 decoded=decoded,
                 ids=ids,
                 ids2d=ids2d,
+                norms2d=norms2d,
                 scale=scale,
                 cache=cache,
                 guard=chunk + _LANE,   # DMA overrun margin required past

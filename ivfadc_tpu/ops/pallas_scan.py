@@ -213,10 +213,19 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
     (instead of two nf-lane rows) and merges only w*k_out candidates — the
     post-kernel gather was the largest cost of the search epilogue.
     """
+    use_norms = False
+    norms_hbm = nbuf = nsems = None
     if extract:
         assert emit_ids and merge == "fold"
         (ids_hbm, out_ref, cbuf, csems, ibuf, isems,
          out_d_ref, out_p_ref, state) = rest
+    elif emit_ids and len(rest) == 11:
+        # cached-norms variant: a (cap_pad/128, 128) f32 row-norm stream
+        # rides alongside the id rows, replacing the in-kernel norms
+        # matmul + square (the second-largest VPU cost per chunk)
+        (ids_hbm, norms_hbm, out_d_ref, out_p_ref, cbuf, csems, ibuf,
+         isems, nbuf, nsems, state) = rest
+        use_norms = True
     elif emit_ids:
         ids_hbm, out_d_ref, out_p_ref, cbuf, csems, ibuf, isems, state = rest
     else:
@@ -251,11 +260,19 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
                        :],
             ibuf.at[slot], isems.at[slot])
 
+    def ndma(slot, ci):
+        return pltpu.make_async_copy(
+            norms_hbm.at[pl.ds((start + ci * chunk) // _CAND,
+                               chunk // _CAND), :],
+            nbuf.at[slot], nsems.at[slot])
+
     @pl.when((nchunks > 0) & jnp.logical_not(buffered))
     def _():
         dma(0, 0).start()
         if emit_ids:
             idma(0, 0).start()
+        if use_norms:
+            ndma(0, 0).start()
 
     def body(ci, _):
         slot = ci % 2
@@ -265,12 +282,16 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
             dma((ci + 1) % 2, ci + 1).start()
             if emit_ids:
                 idma((ci + 1) % 2, ci + 1).start()
+            if use_norms:
+                ndma((ci + 1) % 2, ci + 1).start()
 
         @pl.when(jnp.logical_not(buffered))
         def _():
             dma(slot, ci).wait()
             if emit_ids:
                 idma(slot, ci).wait()
+            if use_norms:
+                ndma(slot, ci).wait()
         if int8:
             # per-column dequant (see _scan_kernel) — the multiply runs once
             # per DMA'd chunk and feeds up to pb probes' matmuls
@@ -280,7 +301,7 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
         scores = jax.lax.dot_general(
             v_ref[...], rows, dimension_numbers=contract_last,
             preferred_element_type=jnp.float32)                 # (pb, chunk)
-        if norm_coef != 0.0:
+        if norm_coef != 0.0 and not use_norms:
             norms = jax.lax.dot_general(
                 ones, rows * rows, dimension_numbers=contract_last,
                 preferred_element_type=jnp.float32)             # (1, chunk)
@@ -306,10 +327,18 @@ def _grouped_scan_kernel(tstart_ref, tsize_ref,     # scalar prefetch (T,)
                        for b in range(nbank)]
             if emit_ids:
                 idrows = ibuf[slot]                 # (chunk/128, 128) i32
+            if use_norms:
+                nrows = nbuf[slot]                  # (chunk/128, 128) f32
             for g in range(chunk // _CAND):                     # static unroll
                 b = g % nbank
                 sub = jax.lax.slice_in_dim(scores, g * _CAND, (g + 1) * _CAND,
                                            axis=1)              # (pb, 128)
+                if use_norms:
+                    # + coef * precomputed row norms (replaces the norms
+                    # matmul): one (pb, 128) add per lane group; inf-masked
+                    # tails stay inf
+                    sub = sub + norm_coef * jax.lax.slice_in_dim(
+                        nrows, g, g + 1, axis=0)
                 upd = sub < banks_d[b]
                 banks_d[b] = jnp.where(upd, sub, banks_d[b])
                 if emit_ids:
@@ -536,7 +565,7 @@ def _tile_map(counts, offsets, sizes, pb: int, T_max: int, kc: int):
     static_argnames=("kc", "k_out", "chunk", "norm_coef", "pb", "merge",
                      "nf", "pos8", "interpret", "extract_k", "rank_engine"))
 def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
-                       ids2d=None,
+                       ids2d=None, norms2d=None,
                        *, kc: int,
                        k_out: int, chunk: int, norm_coef: float = 1.0,
                        pb: int = 16, merge: str = "exact", nf: int = _CAND,
@@ -574,6 +603,12 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
     w*extract_k candidates.
     """
     emit_ids = ids2d is not None
+    # cached row norms (norms2d, (cap_pad/128, 128) f32): stream precomputed
+    # ||r_hat||^2 alongside the id rows and skip the in-kernel norms matmul
+    # + square. Fold + id-emission path only.
+    if norms2d is not None:
+        assert emit_ids and merge == "fold" and norm_coef != 0.0 \
+            and not extract_k
     # int8 position outputs need (pb, nf) blocks of at least Mosaic's
     # (32, 128) int8 tile — same constraint that removed pos8 from
     # dense_scan. Silently fall back to i32 positions below that (pos8 is
@@ -628,7 +663,8 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
                              T_max=T_max, k_out=k_out, chunk=chunk,
                              norm_coef=norm_coef, pb=pb, merge=merge, nf=nf,
                              pos8=pos8, emit_ids=emit_ids, int8=int8,
-                             interpret=interpret, extract_k=extract_k)
+                             interpret=interpret, extract_k=extract_k,
+                             norms2d=norms2d)
     # stable sort by cell via a single packed-int sort: (cell << idx_bits) |
     # probe_idx — half the data movement of argsort's (key, iota) pair sort
     idx_bits = max(1, (P - 1).bit_length())
@@ -675,13 +711,14 @@ def grouped_dense_scan(cells, offsets, sizes, v, base, decoded, scale=None,
                          T_max=T_max, k_out=k_out, chunk=chunk,
                          norm_coef=norm_coef, pb=pb, merge=merge, nf=nf,
                          pos8=pos8, emit_ids=emit_ids, int8=int8,
-                         interpret=interpret, extract_k=extract_k)
+                         interpret=interpret, extract_k=extract_k,
+                         norms2d=norms2d)
 
 
 def _grouped_call(tile_start, tile_size, v_tiles, base_tiles, decoded, scale,
                   ids2d, row, B, w, d, *, T_max, k_out, chunk, norm_coef, pb,
                   merge, nf, pos8, emit_ids, int8, interpret,
-                  extract_k: int = 0):
+                  extract_k: int = 0, norms2d=None):
     """Invoke the grouped scan kernel on prepared tiles and map the output
     rows back to (B, w) probe order via `row` (shared by the counting-rank
     and sort-based preps of `grouped_dense_scan`)."""
@@ -709,6 +746,11 @@ def _grouped_call(tile_start, tile_size, v_tiles, base_tiles, decoded, scale,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
         inputs.append(ids2d)
         scratch += [pltpu.VMEM((2, chunk // _CAND, _CAND), jnp.int32),
+                    pltpu.SemaphoreType.DMA((2,))]
+    if norms2d is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        inputs.append(norms2d)
+        scratch += [pltpu.VMEM((2, chunk // _CAND, _CAND), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,))]
     if extract_k:
         # candidate buffers move to scratch; the packed top-k is the output
