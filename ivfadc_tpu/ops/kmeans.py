@@ -153,6 +153,9 @@ def kmeans_parallel(key: jax.Array, x: jax.Array, k: int,
     D^2 seeding (see _kmeans_parallel_impl). Cost: `rounds` blocked
     (n x k/rounds) matmul passes + one n-wide sort per round."""
     n, _ = x.shape
+    if n < k:
+        raise AssertionError(
+            f"k-means|| needs at least k={k} points to seed from, got {n}")
     rounds = max(1, min(rounds, k))
     m_r = -(-k // rounds)          # pool 1 + rounds*m_r >= k
     m_r = int(min(m_r, n))
@@ -283,8 +286,16 @@ def kmeans(key: jax.Array, x: jax.Array, k: int, *,
     if init in ("kmeans++", "kmeans||"):
         xs = x
         if pp_sample and pp_sample < n:
-            sel = jax.random.choice(key_seed, n, (pp_sample,), replace=False)
-            xs = x[sel]
+            # k-means|| draws k DISTINCT seeds — the sample must hold
+            # comfortably more than k of them (total seeding work is
+            # ~ n_sample * k * d, one Lloyd-assignment-pass equivalent,
+            # so falling back to more points is affordable)
+            eff_sample = max(pp_sample, min(n, 2 * k)) \
+                if init == "kmeans||" else pp_sample
+            if eff_sample < n:
+                sel = jax.random.choice(key_seed, n, (eff_sample,),
+                                        replace=False)
+                xs = x[sel]
         if init == "kmeans||":
             init_centers = kmeans_parallel(key_init, xs, k, metric,
                                            block=block)
