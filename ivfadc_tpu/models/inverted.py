@@ -514,10 +514,14 @@ class PostingStore:
             if dd.get("ids2d") is not None:
                 dd["ids2d"] = dd["ids"].reshape(-1, _LANE)
             if dd.get("norms2d") is not None:
-                # norm of the DEQUANTIZED row (int8 caches: q * scale)
-                rq = rows.astype(jnp.float32)
+                # norm of the DEQUANTIZED row, in the same bf16-dequant /
+                # f32-accumulate math as _row_norms (bit-stable patches)
                 if dd.get("scale") is not None:
-                    rq = rq * dd["scale"][None, :].astype(jnp.float32)
+                    rq = (rows.astype(jnp.bfloat16)
+                          * dd["scale"][None, :].astype(jnp.bfloat16)
+                          ).astype(jnp.float32)
+                else:
+                    rq = rows.astype(jnp.float32)
                 nrm = jnp.sum(rq * rq, axis=1)
                 flat = dd["norms2d"].reshape(-1).at[sl].set(nrm)
                 dd["norms2d"] = flat.reshape(-1, _LANE)
@@ -923,10 +927,14 @@ class PostingStore:
                 if self.align % _LANE == 0 and ids.shape[0] % _LANE == 0 \
                 else None
             norms2d = None
-            if ids2d is not None and os.environ.get("IVFADC_NORMS") == "cache":
+            if ids2d is not None and \
+                    os.environ.get("IVFADC_NORMS", "cache") == "cache":
                 # cached ||r_hat||^2 per row, in the same (rows/128, 128)
                 # stream layout as ids2d: the grouped kernel DMAs it with
-                # the chunk and skips its norms matmul (A/B knob)
+                # the chunk and skips its norms matmul + square — measured
+                # 1.06x e2e at the headline shape (benchmarks/ab_norms.py,
+                # round 5: 11.003 -> 10.362 ms best-of-3, overlap 0.9988).
+                # DEFAULT ON; IVFADC_NORMS=off reverts. +4 B/row memory.
                 norms2d = _row_norms(decoded, scale).reshape(-1, _LANE)
             self._device_dense = dict(
                 offsets=jnp.asarray(self.offsets, jnp.int32),

@@ -117,7 +117,8 @@ def partition_store(store, n_shards: int, align: int = 0, wide: bool = False):
 
 
 def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
-                        ids2d_l, q_l, *, k, w, metric, include_base,
+                        ids2d_l, norms2d_l, q_l, *, k, w, metric,
+                        include_base,
                         apply_rot, residual_based, chunk, pb, merge, nf,
                         pos8, interpret, gather_win=0, gather_all=False,
                         coarse_engine=None, extract=False, rank_engine=None,
@@ -136,7 +137,8 @@ def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
         k=k, w=w, chunk=chunk, pb=pb, merge=merge, nf=nf,
         norm_coef=norm_coef, pos8=pos8, interpret=interpret,
         gather_win=gather_win, gather_all=gather_all,
-        extract=extract, rank_engine=rank_engine, merge_topk=merge_topk)
+        extract=extract, rank_engine=rank_engine, merge_topk=merge_topk,
+        norms2d=norms2d_l)
 
 
 @functools.partial(
@@ -147,7 +149,8 @@ def _local_search_dense(cq_l, rot_l, off_l, siz_l, dec_l, ids_l, scale_l,
                      "gather_win", "gather_all", "coarse_engine",
                      "extract", "rank_engine", "merge_topk", "with_pos"))
 def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
-                         dscale, ids2d, queries, *, mesh, k: int, w: int,
+                         dscale, ids2d, norms2d, queries, *, mesh,
+                         k: int, w: int,
                          window: int,
                          metric: Metric, include_base: bool, apply_rot: bool,
                          residual_based: bool, dense: bool = False,
@@ -173,19 +176,21 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
     overlap independent DMA with compute on a real slice)."""
 
     def local_search(cq_l, cb_l, rot_l, off_l, siz_l, cod_l, ids_l, scale_l,
-                     ids2d_l, q_l):
+                     ids2d_l, norms2d_l, q_l):
         # strip the leading per-shard axis added by shard_map
         off_l, siz_l = off_l[0], siz_l[0]
         cod_l, ids_l = cod_l[0], ids_l[0]
         if ids2d_l is not None:
             ids2d_l = ids2d_l[0]
+        if norms2d_l is not None:
+            norms2d_l = norms2d_l[0]
 
         def scan_block(q_b):
             """Shard-local top-k candidates for one query wave."""
             if dense:
                 return _local_search_dense(
                     cq_l, rot_l, off_l, siz_l, cod_l, ids_l, scale_l,
-                    ids2d_l, q_b, k=k, w=w, metric=metric,
+                    ids2d_l, norms2d_l, q_b, k=k, w=w, metric=metric,
                     include_base=include_base, apply_rot=apply_rot,
                     residual_based=residual_based, chunk=chunk, pb=pb,
                     merge=merge, nf=nf, pos8=pos8, interpret=interpret,
@@ -252,22 +257,23 @@ def _sharded_search_impl(cq, codebooks, rotation, offsets, sizes, codes, ids,
     fn = shard_map(
         local_search, mesh=mesh,
         in_specs=(P(), P(), P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
-                  P(SHARD_AXIS), P(), P(SHARD_AXIS), P(DATA_AXIS)),
+                  P(SHARD_AXIS), P(), P(SHARD_AXIS), P(SHARD_AXIS),
+                  P(DATA_AXIS)),
         out_specs=tuple([P(DATA_AXIS)] * n_out),
         check_vma=False)
     out = fn(cq, codebooks, rotation, offsets, sizes, codes, ids,
-             dscale, ids2d, queries.astype(jnp.float32))
+             dscale, ids2d, norms2d, queries.astype(jnp.float32))
     if with_pos:
         return out[0], metric.finalize(out[1]), out[2]
     return out[0], metric.finalize(out[1])
 
 
 @functools.partial(
-    jax.jit, donate_argnums=(2, 3, 4, 5),
-    static_argnames=("wide", "has_dec", "int8_cache"))
-def _fused_append(codebooks, scale, ids, pq, dec, sizes,
+    jax.jit, donate_argnums=(2, 3, 4, 5, 6),
+    static_argnames=("wide", "has_dec", "int8_cache", "has_norms"))
+def _fused_append(codebooks, scale, ids, pq, dec, sizes, norms,
                   offsets, cells, codes, new_ids, n_valid, *, wide: bool,
-                  has_dec: bool, int8_cache: bool):
+                  has_dec: bool, int8_cache: bool, has_norms: bool):
     """Single-dispatch append epilogue: owner/slot computation + row scatter
     (ids + PQ codes + decoded scan cache) + device-resident size update —
     the whole mutation after encode as ONE donated program, so a push_batch
@@ -312,19 +318,36 @@ def _fused_append(codebooks, scale, ids, pq, dec, sizes,
         d_pad = dec.shape[-1] - rows_d.shape[-1]
         if d_pad:
             rows_d = jnp.pad(rows_d, ((0, 0), (0, d_pad)))
+        if has_norms:
+            # per-row ||r_hat||^2 for the cached norm stream — EXACTLY the
+            # _row_norms math (bf16 dequant, f32 accumulate) so patched
+            # rows score bit-identically to built rows
+            if int8_cache:
+                rq = (rows_d.astype(jnp.bfloat16)
+                      * jnp.pad(sc, (0, rows_d.shape[-1] - sc.shape[0]),
+                                constant_values=1.0
+                                ).astype(jnp.bfloat16)[None, :]
+                      ).astype(jnp.float32)
+            else:
+                rq = rows_d.astype(jnp.float32)
+            nrm = jnp.sum(rq * rq, axis=1)
+            S_n = norms.shape[0]
+            nflat = norms.reshape(S_n, -1)
+            norms = nflat.at[owner, slot].set(nrm, mode="drop").reshape(
+                norms.shape)
         dec = dec.at[owner, slot].set(rows_d.astype(dec.dtype), mode="drop")
     ones = jnp.where(sc < kc, 1, 0).astype(sizes.dtype)
     sizes = sizes.at[owner, sc_safe].add(
         jnp.where(sc < kc, ones, 0), mode="drop")
-    return ids, pq, dec, sizes
+    return ids, pq, dec, sizes, norms
 
 
 @functools.partial(
-    jax.jit, donate_argnums=(0, 1, 2, 3),
-    static_argnames=("has_dec", "wide"))
-def _fused_delete(ids, pq, dec, sizes, src_s, src_r, dst_s, dst_r, live,
-                  upd_s, upd_c, upd_val, dels, *, has_dec: bool,
-                  wide: bool):
+    jax.jit, donate_argnums=(0, 1, 2, 3, 4),
+    static_argnames=("has_dec", "wide", "has_norms"))
+def _fused_delete(ids, pq, dec, sizes, norms, src_s, src_r, dst_s, dst_r,
+                  live, upd_s, upd_c, upd_val, dels, *, has_dec: bool,
+                  wide: bool, has_norms: bool):
     """Single-dispatch delete epilogue: within-cell compaction (a row
     permutation whose coordinates the host derives from the locate result —
     no row data ever crosses to host), tail clearing, device size update,
@@ -342,6 +365,12 @@ def _fused_delete(ids, pq, dec, sizes, src_s, src_r, dst_s, dst_r, live,
         moved_dec = dec[src_s, src_r]
         dec = dec.at[dst_s, dst_r].set(
             jnp.where(live[:, None], moved_dec, 0), mode="drop")
+    if has_norms:
+        S_n = norms.shape[0]
+        nflat = norms.reshape(S_n, -1)
+        moved_n = nflat[src_s, src_r]
+        norms = nflat.at[dst_s, dst_r].set(
+            jnp.where(live, moved_n, 0), mode="drop").reshape(norms.shape)
     if wide:
         new_vals = jnp.where(live, dst_r.astype(ids.dtype), -1)
     else:
@@ -350,7 +379,7 @@ def _fused_delete(ids, pq, dec, sizes, src_s, src_r, dst_s, dst_r, live,
     if dels is not None:
         ids = jnp.where(ids >= 0, ids - jnp.searchsorted(dels, ids), ids)
     sizes = sizes.at[upd_s, upd_c].set(upd_val)
-    return ids, pq, dec, sizes
+    return ids, pq, dec, sizes, norms
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -359,6 +388,27 @@ def _patch_rows(arr, s_idx, r_idx, vals):
     Indices are bucket-padded by repeating entry 0 — duplicate writes of an
     identical value are deterministic, so padding is semantics-free."""
     return arr.at[s_idx, r_idx].set(vals)
+
+
+def _shard_row_norms(dec, scale):
+    """(S, cap_pad, d) decoded cache -> (S, cap_pad/128, 128) f32 per-row
+    ||r_hat||^2 stream. Delegates to the single-chip `_row_norms` on the
+    flattened rows: the REDUCTION SHAPE must match exactly — XLA
+    associates a (S, cap, 128) reduce differently from a (n, 128) one,
+    and the ~1e-4 f32 drift broke sharded/single-chip bit-parity."""
+    from ivfadc_tpu.models.inverted import _row_norms
+    S, cap, d = dec.shape
+    flat = _row_norms(dec.reshape(S * cap, d), scale)
+    return flat.reshape(S, -1, _LANE)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _patch_norm_rows(norms2d, s_idx, r_idx, vals):
+    """Scatter per-row norms into the (S, cap/128, 128) stream at flat
+    per-shard slot coordinates."""
+    S = norms2d.shape[0]
+    flat = norms2d.reshape(S, -1)
+    return flat.at[s_idx, r_idx].set(vals).reshape(norms2d.shape)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -646,6 +696,12 @@ class ShardedIVFADCIndex:
             if parts["align"] % _LANE == 0:
                 arrays["ids2d"] = arrays["ids"].reshape(
                     self.n_shards, -1, _LANE)
+                import os as _os
+                if _os.environ.get("IVFADC_NORMS", "cache") == "cache":
+                    # cached per-row ||r_hat||^2 stream (round-5 default:
+                    # 1.06x e2e, benchmarks/ab_norms.py) — XLA fuses the
+                    # dequant+square+reduce into one sharded pass
+                    arrays["norms2d"] = _shard_row_norms(dec, scale)
             if scale is not None:
                 self.scale = jax.device_put(np.asarray(scale), repl)
         else:
@@ -887,6 +943,17 @@ class ShardedIVFADCIndex:
                 rows_d = jnp.pad(rows_d, ((0, 0), (0, d_pad)))
             live = jnp.asarray(id_np >= 0)[:, None]
             rows_d = jnp.where(live, rows_d, 0).astype(dec.dtype)
+            if self.arrays.get("norms2d") is not None:
+                # same bf16-dequant math as _shard_row_norms
+                if self.scale is not None:
+                    rq = (rows_d.astype(jnp.bfloat16)
+                          * self.scale[None, :rows_d.shape[-1]].astype(
+                              jnp.bfloat16)).astype(jnp.float32)
+                else:
+                    rq = rows_d.astype(jnp.float32)
+                self.arrays["norms2d"] = _patch_norm_rows(
+                    self.arrays["norms2d"], s_j, r_j,
+                    jnp.sum(rq * rq, axis=1))
             self.arrays["codes"] = _patch_rows(dec, s_j, r_j, rows_d)
         else:
             self.arrays["codes"] = self.shard_pq_codes
@@ -1154,21 +1221,27 @@ class ShardedIVFADCIndex:
             self._regrow_distributed(new_sizes)
         has_dec = self.scan_mode == "dense"
         int8_cache = self.scale is not None
+        has_norms = self.arrays.get("norms2d") is not None
         dec_in = self.arrays["codes"] if has_dec \
             else jnp.zeros((1, 1, 1), jnp.int8)
+        norms_in = self.arrays["norms2d"] if has_norms \
+            else jnp.zeros((1, 1), jnp.float32)
         scale_in = self.scale if int8_cache else jnp.zeros(1, jnp.float32)
         ids_pad = np.zeros(Bp, np.int64)
         ids_pad[:B] = new_ids
-        ids_new, pq_new, dec_new, sizes_new = _fused_append(
+        ids_new, pq_new, dec_new, sizes_new, norms_new = _fused_append(
             self.codebooks, scale_in, self.arrays["ids"],
-            self.shard_pq_codes, dec_in, self.arrays["sizes"],
+            self.shard_pq_codes, dec_in, self.arrays["sizes"], norms_in,
             self.arrays["offsets"], cells_d, codes_d,
             jnp.asarray(ids_pad, jnp.int32), jnp.int32(B),
-            wide=self.wide_ids, has_dec=has_dec, int8_cache=int8_cache)
+            wide=self.wide_ids, has_dec=has_dec, int8_cache=int8_cache,
+            has_norms=has_norms)
         self.arrays["ids"] = ids_new
         self.shard_pq_codes = pq_new
         self.arrays["codes"] = dec_new if has_dec else pq_new
         self.arrays["sizes"] = sizes_new
+        if has_norms:
+            self.arrays["norms2d"] = norms_new
         self._sync_ids2d()
         if self.wide_ids:
             # host translation at the same coordinates the program used —
@@ -1270,11 +1343,14 @@ class ShardedIVFADCIndex:
         upd_c += [upd_c[0]] * padU
         upd_val += [upd_val[0]] * padU
         has_dec = self.scan_mode == "dense"
+        has_norms = self.arrays.get("norms2d") is not None
         dec_in = self.arrays["codes"] if has_dec \
             else jnp.zeros((1, 1, 1), jnp.int8)
-        ids_new, pq_new, dec_new, sizes_new = _fused_delete(
+        norms_in = self.arrays["norms2d"] if has_norms \
+            else jnp.zeros((1, 1), jnp.float32)
+        ids_new, pq_new, dec_new, sizes_new, norms_new = _fused_delete(
             self.arrays["ids"], self.shard_pq_codes, dec_in,
-            self.arrays["sizes"],
+            self.arrays["sizes"], norms_in,
             jnp.asarray(ss, jnp.int32), jnp.asarray(src, jnp.int32),
             jnp.asarray(ss, jnp.int32), jnp.asarray(dst, jnp.int32),
             jnp.asarray(live),
@@ -1282,11 +1358,13 @@ class ShardedIVFADCIndex:
             jnp.asarray(np.asarray(upd_c), jnp.int32),
             jnp.asarray(np.asarray(upd_val), jnp.int32),
             None if self.wide_ids else jnp.asarray(dels_p, ids_dt),
-            has_dec=has_dec, wide=self.wide_ids)
+            has_dec=has_dec, wide=self.wide_ids, has_norms=has_norms)
         self.arrays["ids"] = ids_new
         self.shard_pq_codes = pq_new
         self.arrays["codes"] = dec_new if has_dec else pq_new
         self.arrays["sizes"] = sizes_new
+        if has_norms:
+            self.arrays["norms2d"] = norms_new
         self._sync_ids2d()
         if self.wide_ids:
             # surviving ids shift down past the deleted ranks — pure host
@@ -1412,7 +1490,8 @@ class ShardedIVFADCIndex:
             self.arrays["offsets"], self.arrays["sizes"],
             self.arrays["codes"] if dense else self.shard_pq_codes,
             self.arrays["ids"], self.scale,
-            self.arrays.get("ids2d"), q,
+            self.arrays.get("ids2d"),
+            self.arrays.get("norms2d") if dense else None, q,
             mesh=self.mesh, k=k, w=w, window=self.window,
             metric=self.index.quant_metric, include_base=include_base,
             apply_rot=self.index.quantizer.method == "opq",

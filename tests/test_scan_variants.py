@@ -35,7 +35,10 @@ def test_vbase_qc_matches_default(dense_index, monkeypatch):
 
 
 def test_norms_cache_matches_default(dense_index, monkeypatch):
+    """Cached norms are DEFAULT-ON since the round-5 hardware win; pin
+    parity against the compute-in-kernel path (IVFADC_NORMS=off)."""
     data, q, idx = dense_index
+    monkeypatch.setenv("IVFADC_NORMS", "off")
     i1, d1 = idx.search_padded(q, 10, w=8)
     monkeypatch.setenv("IVFADC_NORMS", "cache")
     idx.store._invalidate()          # rebuild the view with the norm stream
