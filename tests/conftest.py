@@ -20,7 +20,12 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: repeat pytest runs skip XLA recompiles.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# 0.0, not 0.5: cache EVERY executable. This image's XLA:CPU segfaults
+# stochastically during compilation once a process has compiled a few
+# hundred programs (RESULTS.md environment caveats); with a warm cache a
+# suite run compiles almost nothing, which both speeds it up and removes
+# most of the crash exposure.
 
 import numpy as np
 import pytest
