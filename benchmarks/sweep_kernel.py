@@ -61,6 +61,10 @@ def run_one(pb: int, chunk: int, merge: str):
         return grouped_dense_scan(
             cells, dev["offsets"], dev["sizes"], v + 1e-6 * i, bse,
             dev["decoded"], dev["scale"], ids2d,
+            # round 5: the production default streams cached row norms —
+            # sweep under the same kernel variant the search runs
+            dev.get("norms2d") if (ids2d is not None and not extract_k)
+            else None,
             kc=kc, k_out=min(k, 128), chunk=chunk, norm_coef=1.0, pb=pb,
             merge=merge, nf=nf, interpret=interp, extract_k=extract_k)
 
