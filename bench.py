@@ -239,6 +239,7 @@ def main():
         "rank_engine": os.environ.get("IVFADC_RANK_ENGINE", "v1"),
         "coarse_engine": os.environ.get("IVFADC_COARSE_ENGINE", "v1"),
         "merge_topk": os.environ.get("IVFADC_MERGE_TOPK", "pallas"),
+        "norms": os.environ.get("IVFADC_NORMS", "cache"),
         "build_seconds": round(build_s, 1),
         "total_seconds": round(time.time() - t_all, 1),
     }
