@@ -197,3 +197,28 @@ def test_wide_streaming_build(wide_data, monkeypatch):
     same = ref_ids >= 0
     np.testing.assert_array_equal(ids[same].astype(np.int64), ref_ids[same])
     np.testing.assert_allclose(dists, ref_d, rtol=1e-5)
+
+
+def test_serving_over_wide_view(wide_data, monkeypatch):
+    """BatchingSearcher epoch-swap mutations work over a wide-id sharded
+    view: the fork copies the host translation, searches resolve to uint64
+    ids, and mutations through the searcher stay consistent."""
+    from ivfadc_tpu.serving import BatchingSearcher
+
+    monkeypatch.setenv("IVFADC_DEVICE_ID_CAP", str(CAP))
+    sidx = ShardedIVFADCIndex.build(wide_data[:2000],
+                                    make_mesh(n_shards=4, n_data=2), **KW)
+    assert sidx.wide_ids
+    n0 = len(sidx.index)
+    with BatchingSearcher(sidx, max_batch=16, max_wait_ms=1) as s:
+        ids, _ = s.submit(wide_data[0], 5, w=8).result(timeout=60)
+        assert ids.dtype == np.uint64 and int(ids[0]) == 0
+        s.push_batch(wide_data[2000:2008])
+        s.delete([3, 7])
+        ids2, d2 = s.submit(wide_data[2001], 5, w=8).result(timeout=60)
+        assert ids2.dtype == np.uint64
+    # serving results == direct post-mutation results (epoch converged)
+    direct_ids, direct_d = sidx.search_padded(wide_data[2001][None], 5, w=8)
+    np.testing.assert_array_equal(ids2, direct_ids[0])
+    np.testing.assert_allclose(d2, direct_d[0], rtol=1e-6)
+    assert len(sidx.index) == n0 + 6
