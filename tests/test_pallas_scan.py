@@ -210,13 +210,24 @@ def test_grouped_extract_matches_buffered_topk(nf, chunk, pb, k):
 
 
 def test_dense_scan_buffered_default_matches_lut(monkeypatch):
-    """conftest opts the whole suite into extraction (IVFADC_EXTRACT=1), but
-    the SHIPPED default is extraction OFF (buffered fold epilogue +
-    full-candidate merge). Pin that path end-to-end: with extraction forced
-    off at dispatch time, the dense search must still match the LUT engine.
-    The env knobs are re-read per dispatch as jit static args, so the
-    monkeypatch takes effect without a subprocess."""
+    """The SHIPPED default (extraction OFF: buffered fold epilogue +
+    full-candidate merge) end-to-end: the dense search must match the LUT
+    engine. The env knobs are re-read per dispatch as jit static args, so
+    the monkeypatch takes effect without a subprocess."""
     monkeypatch.setenv("IVFADC_NO_EXTRACT", "1")
+    base, idx = _build(scan_mode="dense")
+    _, idx_lut = _build(scan_mode="lut")
+    q = base[np.random.RandomState(7).choice(len(base), 16, replace=False)]
+    _compare(idx, idx_lut, q, k=10, w=4)
+
+
+def test_dense_scan_extraction_optin_matches_lut(monkeypatch):
+    """The opt-in extraction engine (IVFADC_EXTRACT=1 — kept for other
+    shapes/runtimes after losing its round-3 hardware A/B) end-to-end:
+    since round 5 the suite runs the shipped defaults, so this test is the
+    extraction path's e2e coverage."""
+    monkeypatch.setenv("IVFADC_EXTRACT", "1")
+    monkeypatch.delenv("IVFADC_NO_EXTRACT", raising=False)
     base, idx = _build(scan_mode="dense")
     _, idx_lut = _build(scan_mode="lut")
     q = base[np.random.RandomState(7).choice(len(base), 16, replace=False)]
