@@ -1,5 +1,6 @@
 #!/bin/bash
-# Round-2 TPU validation queue: waits for the tunneled TPU to come back,
+# TPU validation queue (round-2 origin; round-5 additions at the end):
+# waits for the tunneled TPU to come back,
 # then runs every pending hardware A/B in sequence (each driver isolates
 # engines in subprocesses — a Mosaic compile error poisons a process).
 #
@@ -45,4 +46,12 @@ echo "=== deep1b gathered A/B ==="
 timeout 5400 python benchmarks/deep1b_shape.py 2>&1 | grep -E "RESULT|plan|build|\["
 echo "=== gather microbench ==="
 timeout 1800 python benchmarks/gather_microbench.py 2>&1 | tail -10
+echo "=== [round 5] v/base derivation A/B (measured wash; re-check on new runtimes) ==="
+timeout 3000 python benchmarks/ab_vbase.py 2>&1 | grep -E "RESULT|BEST"
+echo "=== [round 5] cached-norms A/B (won 1.06x, now default; re-validate) ==="
+timeout 3000 python benchmarks/ab_norms.py 2>&1 | grep -E "RESULT|BEST"
+echo "=== [round 5] k-means|| seeding recall A/B at Deep1B shape ==="
+timeout 3600 python benchmarks/ab_seeding.py 2>&1 | grep -E "RESULT|build"
+echo "=== [round 5] serving under mutation (epoch swap) ==="
+timeout 1800 python benchmarks/serving_bench.py 2>&1 | grep -E "RESULT|mutation"
 echo "=== queue done ==="
